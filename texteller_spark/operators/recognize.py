@@ -1,0 +1,80 @@
+"""Recognition + normalization: span raw source → final content string.
+
+Mirrors the reference's two recognition stages and its normalization pass in
+one fused Arrow-batched kernel:
+
+* text spans → entity-unescape + whitespace canonicalization (the CTC
+  text-recognition analog, ``/root/reference/src/models/thrid_party/
+  paddleocr/infer/predict_rec.py:333-383`` — recognition of already-located
+  text is, in the byte domain, normalization);
+* TeX math spans → delimiter strip (the TrOCR recognition analog,
+  ``ocr_model/utils/inference.py:13-49``) → ``latex_to_katex`` → wrap;
+* MathML math spans → deterministic MathML→LaTeX transliteration →
+  ``latex_to_katex`` → wrap (wrapping parity with ``mix_inference.py:210-215``).
+
+Fusing recognize+normalize avoids one extra Arrow round-trip per exploded
+span — the batched-kernel discipline the reference applies with its single
+stacked ``generate`` call.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from ..functions.katex import latex_to_katex, wrap_span
+from ..functions.mathml import mathml_to_latex
+
+__all__ = ["recognize_text", "recognize_math", "recognize_span", "recognize_udf"]
+
+_WS_RE = re.compile(r"\s+")
+
+
+def recognize_text(raw: str) -> str:
+    """Normalize a text run: entity unescape + whitespace collapse + strip."""
+    return _WS_RE.sub(" ", _htmllib.unescape(raw)).strip()
+
+
+def _strip_delims(raw: str) -> str:
+    if raw.startswith("$$") and raw.endswith("$$") and len(raw) >= 4:
+        return raw[2:-2]
+    if (raw.startswith("\\[") and raw.endswith("\\]")) or (
+        raw.startswith("\\(") and raw.endswith("\\)")
+    ):
+        return raw[2:-2]
+    if raw.startswith("$") and raw.endswith("$") and len(raw) >= 2:
+        return raw[1:-1]
+    return raw
+
+
+def recognize_math(raw: str) -> str:
+    """Math span source → raw LaTeX (pre-normalization)."""
+    if raw.lstrip().startswith("<"):
+        return mathml_to_latex(raw)
+    return _htmllib.unescape(_strip_delims(raw))
+
+
+def recognize_span(kind: str, raw: str) -> str:
+    """Full per-span recognition + normalization + wrapping."""
+    if kind == "text":
+        return recognize_text(raw)
+    return wrap_span(kind, latex_to_katex(recognize_math(raw)))
+
+
+def _recognize_batches(
+    it: Iterator[tuple[pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    for kind, raw in it:
+        yield pd.Series(
+            [None if k is None else recognize_span(k, r) for k, r in zip(kind, raw)],
+            dtype="object",
+        )
+
+
+#: scalar pandas UDF: (kind, raw) → content (Arrow-batched)
+recognize_udf = pandas_udf(_recognize_batches, returnType=StringType())

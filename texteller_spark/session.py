@@ -1,0 +1,70 @@
+"""SparkSession factory with the engine's scale discipline baked in.
+
+These settings are the local-mode projection of the production posture
+(1000-executor cluster over a 10^12-row Iceberg table): AQE on (runtime
+skew-join splitting + partition coalescing), Arrow enabled with bounded
+batch sizes (the memory-ceiling analog of the reference's recognition batch
+size 6), and Python worker reuse (per-executor kernel warm-up amortized, the
+model-session-caching analog).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+__all__ = ["build_session", "default_parallelism", "ship_package"]
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors — the in-process analog of
+    ``spark-submit --py-files texteller_spark.zip`` (north rule). Makes the
+    session independent of the driver's working directory."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    stage = tempfile.mkdtemp(prefix="texteller_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(stage, "texteller_spark"), "zip",
+        root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _build(
+    app: str = "texteller_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    n = cpus or default_parallelism()
+    shuffle = shuffle_partitions or max(2 * n, 32)
+    return (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def build_session(
+    app: str = "texteller_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    spark = _build(app, cpus, shuffle_partitions)
+    ship_package(spark)
+    return spark
