@@ -1,0 +1,174 @@
+"""Unit tests for MathML transliteration, text analysis, dedup, similarity,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from texteller_spark.functions.mathml import mathml_to_latex
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        ("<math><mi>x</mi><mo>+</mo><mn>1</mn></math>", "x + 1"),
+        ('<math display="block"><mfrac><mi>a</mi><mi>b</mi></mfrac></math>', r"\frac{a}{b}"),
+        ("<math><msup><mi>x</mi><mn>2</mn></msup></math>", "x^{2}"),
+        ("<math><msub><mi>a</mi><mi>i</mi></msub></math>", "a_{i}"),
+        ("<math><msqrt><mi>y</mi></msqrt></math>", r"\sqrt{y}"),
+        ("<math><mroot><mi>x</mi><mn>3</mn></mroot></math>", r"\sqrt[3]{x}"),
+        (
+            "<math><msubsup><mi>x</mi><mn>0</mn><mn>2</mn></msubsup></math>",
+            "x_{0}^{2}",
+        ),
+        ("<math><mi>sin</mi><mi>x</mi></math>", r"\sin x"),
+        ("<math><mi>foo</mi></math>", r"\mathrm{foo}"),
+        ("<math><mtext>iff</mtext></math>", r"\text{iff}"),
+        ("<math><mi>&alpha;</mi><mo>&le;</mo><mi>&beta;</mi></math>", r"\alpha \leq \beta"),
+        (
+            "<math><munderover><mo>&sum;</mo><mrow><mi>i</mi><mo>=</mo><mn>0</mn></mrow>"
+            "<mi>n</mi></munderover><msub><mi>x</mi><mi>i</mi></msub></math>",
+            r"\sum_{i = 0}^{n} x_{i}",
+        ),
+        ("<math><mover><mi>x</mi><mo>^</mo></mover></math>", r"\hat{x}"),
+        (
+            "<math><mfenced open='[' close=']'><mi>a</mi><mi>b</mi></mfenced></math>",
+            r"\left[a, b\right]",
+        ),
+        (
+            "<math><mtable><mtr><mtd><mn>1</mn></mtd><mtd><mn>0</mn></mtd></mtr>"
+            "<mtr><mtd><mn>0</mn></mtd><mtd><mn>1</mn></mtd></mtr></mtable></math>",
+            r"\begin{matrix}1 & 0 \\ 0 & 1\end{matrix}",
+        ),
+        # namespace prefix + xmlns stripping
+        (
+            '<m:math xmlns:m="http://www.w3.org/1998/Math/MathML"><m:mi>z</m:mi></m:math>',
+            "z",
+        ),
+        # broken XML degrades to visible text, never raises
+        ("<math><mi>x</mi", "x"),
+    ],
+)
+def test_mathml_to_latex(src, expected):
+    assert mathml_to_latex(src) == expected
+
+
+def test_mathml_total_on_junk():
+    for junk in ("", "<math></math>", "not xml at all", "<math>&bogus;</math>"):
+        assert isinstance(mathml_to_latex(junk), str)
+
+
+# --- pure-numpy dedup kernels ------------------------------------------------
+
+def test_minhash_similarity_ordering():
+    from texteller_spark.operators.dedup import _minhash_sig
+
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = a + " extra"
+    far = "completely different words everywhere nothing shared at all here now"
+    sa, sn, sf_ = map(lambda t: np.array(_minhash_sig(t, 3)), (a, near, far))
+    sim_near = (sa == sn).mean()
+    sim_far = (sa == sf_).mean()
+    assert sim_near > 0.5 > sim_far
+    assert _minhash_sig(a, 3) == _minhash_sig(a, 3)  # deterministic
+
+
+def test_simhash_hamming():
+    from texteller_spark.operators.dedup import _simhash64
+
+    a = _simhash64("the quick brown fox jumps over the lazy dog " * 4)
+    b = _simhash64("the quick brown fox jumps over the lazy dog " * 4 + "tail")
+    c = _simhash64("entirely unrelated content with other tokens present here")
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(a, b) < ham(a, c)
+    assert _simhash64("") == 0
+
+
+# --- Spark-level operator tests ---------------------------------------------
+
+def test_exact_and_lsh_dedup(spark):
+    from texteller_spark.operators.dedup import (
+        exact_duplicate_groups,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    base = [(i, f"unique document number {i} with shared prefix words " + "filler " * 10) for i in range(20)]
+    rows = base + [(100 + i, t) for i, t in [(0, base[0][1]), (1, base[1][1])]]
+    near = [(200 + i, t + " mutated") for i, t in [(2, base[2][1]), (3, base[3][1])]]
+    df = spark.createDataFrame(rows + near, ["doc_id", "text"])
+
+    exact = exact_duplicate_groups(df).collect()
+    assert {(r["n_copies"], r["keep_id"]) for r in exact} == {(2, 0), (2, 1)}
+
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert (0, 100) in pairs and (1, 101) in pairs  # exact dups
+    assert (2, 202) in pairs and (3, 203) in pairs  # near dups
+
+    spairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(df).collect()}
+    assert (0, 100) in spairs and (1, 101) in spairs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    from texteller_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = "a b c d e f g h i j"
+    df = spark.createDataFrame([(1, t), (2, t), (3, "x y z w v u t s r q")], ["doc_id", "text"])
+    got = ngram_jaccard_pairs(df, n=3, threshold=0.9).collect()
+    assert len(got) == 1 and got[0]["id_a"] == 1 and got[0]["id_b"] == 2
+    assert got[0]["jaccard"] == 1.0
+
+
+def test_brute_force_vs_lsh_recall(spark):
+    from texteller_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(300, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    q = [float(x) for x in vecs[0]]
+    exact = [r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()]
+    assert exact[0] == 0  # self is nearest
+    approx = [r["vec_id"] for r in lsh_topk(df, q, k=10, bits=5, probes=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5
+
+
+def test_textops_values(spark):
+    from texteller_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [("the cat is on the mat.", ), ("", ), ("der hund ist da und so", )], ["text"]
+    )
+    got = df.select(
+        textops.token_count(F.col("text")).alias("tok"),
+        textops.lang_id(F.col("text")).alias("lang"),
+        textops.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert [r["tok"] for r in got] == [6, 0, 6]
+    assert got[0]["lang"] == "en" and got[2]["lang"] == "de"
+    assert got[0]["bpe"] == 7  # 6 words + 1 period
+    assert got[1]["bpe"] == 0
+
+
+def test_multimodal_plumbing(spark):
+    from texteller_spark.operators.multimodal import (
+        attach_media,
+        decode_features,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "payload text " * (i + 1)) for i in range(9)], ["doc_id", "text"]
+    )
+    media = attach_media(df)
+    feats = decode_features(media).collect()
+    assert len(feats) == 9
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-5 for r in feats)
+    frames = sample_frames(media, every_bytes=16, max_frames=4).collect()
+    assert frames and all(r["frame_idx"] < 4 for r in frames)
+
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_features(media, require_real=True).collect()

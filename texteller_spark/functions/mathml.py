@@ -210,7 +210,7 @@ def mathml_to_latex(src: str) -> str:
     try:
         root = ElementTree.fromstring(cleaned)
     except ElementTree.ParseError:
-        stripped = re.sub(r"<[^>]*>", " ", cleaned)
+        stripped = re.sub(r"<[^>]*>?", " ", cleaned)  # also eats dangling tags
         return re.sub(r"\s+", " ", _sym(stripped)).strip()
     tex = _el_tex(root)
     return re.sub(r"\s+", " ", tex).strip()

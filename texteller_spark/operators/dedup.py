@@ -1,0 +1,282 @@
+"""Document deduplication at corpus scale: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Design for 10^12 rows:
+
+* **exact** — hash-groupBy on a content digest (one shuffle on a short key,
+  never on the full text).
+* **MinHash + LSH** — per-doc signatures computed in one Arrow-batched
+  numpy kernel (no per-row Python), then banded: ``explode(bands)`` →
+  shuffle on ``(band_id, band_hash)`` → same-bucket pairs. Candidate
+  verification joins signatures back, all JVM-side. The only quadratic work
+  happens inside buckets, whose size LSH bounds with high probability.
+* **SimHash** — 64-bit signature per doc; near-dup pairs found by banding
+  the signature into 16-bit chunks (Hamming ≤ 3 ⇒ at least one of 4 chunks
+  equal), again a bucket join, not a cross join.
+* **n-gram Jaccard** — shingle explode + same-shingle join with frequency
+  capping (drop shingles above a document-frequency ceiling — the classic
+  stop-shingle guard that keeps the join from exploding on common n-grams).
+
+All hash functions are seeded & deterministic (crc32 token hashing +
+fixed-coefficient universal hashing), so results are reproducible across
+runs and partitionings.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+__all__ = [
+    "exact_duplicate_groups",
+    "with_minhash",
+    "minhash_lsh_pairs",
+    "with_simhash",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+]
+
+_MERSENNE = (1 << 61) - 1
+_N_HASHES = 64
+_SEED = 42
+
+_rng = np.random.RandomState(_SEED)
+_A = _rng.randint(1, _MERSENNE, size=_N_HASHES, dtype=np.int64)
+_B = _rng.randint(0, _MERSENNE, size=_N_HASHES, dtype=np.int64)
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via digest-groupBy: (digest, n_copies, keep_id) — one
+    shuffle on a 32-char key. ``keep_id`` is the deterministic survivor."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col("doc_id"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(
+        np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.int64)
+    )
+
+
+def _minhash_sig(text: str, k: int) -> list[int]:
+    h = _shingle_hashes(text, k)
+    # universal hashing over all shingles at once: (A ⊗ h + B) mod p, min
+    m = (h[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
+    return m.min(axis=1).astype(np.int64).tolist()
+
+
+def with_minhash(df: DataFrame, text_col: str = "text", shingle_k: int = 3) -> DataFrame:
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            yield texts.map(lambda t: _minhash_sig(t or "", shingle_k))
+
+    return df.withColumn("minhash", sig_udf(F.col(text_col)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash, verified by estimated
+    Jaccard (signature agreement) ≥ threshold. Returns (id_a, id_b, est_jaccard)."""
+    rows_per_band = _N_HASHES // bands
+    sigs = with_minhash(df, text_col, shingle_k).select(id_col, "minhash")
+
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        "minhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        "minhash", b * rows_per_band + 1, rows_per_band
+                    ).cast("string")
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    ).select("id", "minhash", "band_id", "band_hash")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.minhash").alias("sig_a"),
+            F.col("b.minhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    est = agree / F.lit(_N_HASHES)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _simhash64(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    hashes = np.fromiter(
+        (zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32) for t in toks),
+        dtype=np.uint64,
+    )
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int32
+    )
+    counts = bits.sum(axis=0)
+    sign = counts * 2 > len(toks)
+    val = 0
+    for i in np.nonzero(sign)[0]:
+        val |= 1 << int(i)
+    # to signed int64 domain for Spark LongType
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    @pandas_udf(T.LongType())
+    def sim_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            yield texts.map(lambda t: _simhash64(t or ""))
+
+    return df.withColumn("simhash", sim_udf(F.col(text_col)))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 16-bit-chunk
+    banding (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks identical)."""
+    sigs = with_simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    chunked = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_id") == F.col("b.chunk_id"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle-inverted-index join.
+
+    Shingles with document frequency > ``max_shingle_df`` are dropped before
+    the join (stop-shingle guard) — at web scale this bounds bucket sizes the
+    same way LSH banding does.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            F.size(F.split(F.col(text_col), r"\s+")) - n, F.lit(0)
+                        ),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split(F.col(text_col), r"\s+"), i + 1, n)
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    rare = grams.join(
+        grams.groupBy("gram").agg(F.count("*").alias("gdf")).filter(
+            F.col("gdf") <= max_shingle_df
+        ).select("gram"),
+        "gram",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.gram") == F.col("b.gram"), F.col("a.id") < F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The actual codec work (JPEG decode, audio resample, video frame extraction)
+needs native libraries that are NOT in this container — those kernels are
+STUBBED behind ``_decode_stub`` (a deterministic fake so plumbing is
+testable end-to-end) and raise ``NotImplementedError`` when
+``require_real=True``.  Everything Spark-side is real: schemas, batch
+iteration, partition behavior, and output shapes are exactly what a
+production decode stage uses — swap the stub body for PIL/ffmpeg on a
+cluster with the libs installed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["MEDIA_SCHEMA", "attach_media", "decode_features", "sample_frames"]
+
+#: media sidecar: opaque payload + typed metadata (never inspected by Spark)
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_entropy", T.DoubleType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def attach_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Derive a deterministic media sidecar from a text table (test fixture:
+    payload = utf-8 bytes; at production the payload is the WARC media
+    record). Demonstrates the schema + join-key discipline only."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        (F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                      (F.col(id_col) % 3 + 1).cast("int"))).alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def _decode_stub(payload: bytes, kind: str, require_real: bool) -> np.ndarray:
+    """STUB for the native decode (PIL/librosa/ffmpeg). Deterministic fake:
+    8-bin byte histogram, L1-normalized."""
+    if require_real:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg — not available in this "
+            "container; deploy with the codec libs and replace _decode_stub"
+        )
+    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    hist = np.bincount(arr >> 5, minlength=8).astype(np.float64)
+    return (hist / max(hist.sum(), 1.0)).astype(np.float32)
+
+
+def decode_features(df: DataFrame, require_real: bool = False) -> DataFrame:
+    """media table → per-item feature vectors, Arrow-batched (mapInPandas).
+
+    The batch shape is the production contract: iterator of pandas frames,
+    one output row per input row, fixed feature dim.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(p, k, require_real)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            ent = [
+                float(-(f[f > 0] * np.log2(f[f > 0])).sum()) for f in
+                (np.asarray(x, dtype=np.float64) for x in feats)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "byte_entropy": ent,
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling analog: emit ≤ ``max_frames`` payload slices per
+    item (1:N mapInPandas fan-out — the UDTF-shaped batch contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = payload or b""
+                for i in range(min(max_frames, max(1, len(p) // every_bytes))):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(p[i * every_bytes : (i + 1) * every_bytes])
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(run, schema=_FRAME_SCHEMA)

@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring how a 100 TB training-data pipeline actually serves ANN:
+
+* **brute-force cosine top-k** — the exactness baseline. The dot product and
+  norms are pure JVM expressions (``aggregate``/``zip_with``), so the scan is
+  whole-stage-codegen'd, filters/pruning push to parquet, and the top-k is a
+  ``TakeOrderedAndProject`` (no global sort materialization).
+* **LSH-bucketed ANN** — random-hyperplane signatures (one Arrow numpy
+  kernel), bucket join on signature prefix, brute-force *within* buckets.
+  Probing multiple adjacent buckets trades recall for cost; the signature
+  computation is O(d·bits) per row and the join shuffles only
+  (id, bucket) pairs — at 10^12 rows the candidate set per query is bounded
+  by bucket size, not corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+__all__ = ["cosine_to_query", "brute_force_topk", "with_lsh_bucket", "lsh_topk"]
+
+_SEED = 42
+
+
+def cosine_to_query(df: DataFrame, query: Sequence[float], vec_col: str = "embedding") -> DataFrame:
+    """+ ``cosine`` column vs a constant query vector — all JVM-side
+    (``zip_with`` dot product + ``aggregate`` norms), no Python in the scan."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(np.linalg.norm(np.asarray(query, dtype=np.float64)))
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return df.withColumn("cosine", dot / (norm * F.lit(qn)))
+
+
+def brute_force_topk(
+    df: DataFrame, query: Sequence[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic tie-break on id. Catalyst plans
+    this as TakeOrderedAndProject — per-partition heaps, no full sort."""
+    return (
+        cosine_to_query(df, query, vec_col)
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int) -> np.ndarray:
+    return np.random.RandomState(_SEED).normal(size=(bits, dim)).astype(np.float64)
+
+
+def with_lsh_bucket(df: DataFrame, dim: int, bits: int = 12, vec_col: str = "embedding") -> DataFrame:
+    """+ ``bucket`` column: sign pattern under fixed random hyperplanes."""
+    planes = _hyperplanes(dim, bits)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @pandas_udf(T.LongType())
+    def bucket_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+            signs = (mat @ planes.T) > 0  # (n, bits)
+            yield pd.Series((signs @ weights).astype(np.int64))
+
+    return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
+
+
+def lsh_topk(
+    df: DataFrame, query: Sequence[float], k: int = 10, bits: int = 12,
+    probes: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: restrict to the query's bucket plus ``probes`` 1-bit-flip
+    neighbor buckets, then exact cosine inside the candidate set."""
+    q = np.asarray(query, dtype=np.float64)
+    planes = _hyperplanes(len(q), bits)
+    sign = (planes @ q) > 0
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    base = int((sign * weights).sum())
+    margins = np.abs(planes @ q)  # flip the least-confident bits first
+    flip_order = np.argsort(margins)[:probes]
+    buckets = [base] + [base ^ int(1 << int(b)) for b in flip_order]
+
+    cand = with_lsh_bucket(df, len(q), bits, vec_col).filter(
+        F.col("bucket").isin(buckets)
+    )
+    return brute_force_topk(cand, query, k, id_col, vec_col)

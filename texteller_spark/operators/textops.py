@@ -1,0 +1,93 @@
+"""Text analysis for training-data curation — all pure JVM column
+expressions (whole-stage-codegen'd; no Python anywhere), so they run at
+scan speed and their filters push down.
+
+Provided: whitespace+BPE-ish token counting, language-ID heuristic
+(stopword n-gram voting), quality scoring (length/punctuation/stopword
+ratios), and content fingerprinting (md5 head digest — engine-portable,
+unlike engine-native ``hash()``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "bpe_ish_token_count",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "STOPWORDS_EN",
+]
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+_STOP_DE = ("der", "die", "das", "und", "ist", "mit", "für")
+_STOP_ES = ("el", "la", "los", "de", "que", "y", "es")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored estimate: alphanumeric runs + each punctuation mark is a
+    token, long words pay extra (≈ subword splits every 6 chars)."""
+    words = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+"), 0))
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\sA-Za-z0-9]"), 0))
+    extra = F.aggregate(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]{7,}"), 0),
+        F.lit(0),
+        lambda acc, w: acc + F.floor(F.length(w) / 6).cast("int"),
+    )
+    return words + punct + extra
+
+
+def _stop_hits(words: Column, stops: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*stops)))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-voting language heuristic → 'en' | 'de' | 'es' | 'unk'."""
+    words = F.split(F.lower(text), r"\s+")
+    en, de, es = (
+        _stop_hits(words, STOPWORDS_EN),
+        _stop_hits(words, _STOP_DE),
+        _stop_hits(words, _STOP_ES),
+    )
+    return (
+        F.when((en >= de) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= es) & (de > 0), F.lit("de"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality heuristic: length band + stopword presence − punctuation
+    excess. Deterministic, engine-portable arithmetic only."""
+    n = F.length(text)
+    words = F.split(F.lower(text), r"\s+")
+    n_words = F.size(words)
+    stop_ratio = _stop_hits(words, STOPWORDS_EN) / F.greatest(n_words, F.lit(1))
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    punct_ratio = punct / F.greatest(n, F.lit(1))
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    # no per-row rounding: engines differ in rounding mode at .5 boundaries;
+    # round only final aggregates
+    return (
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+
+
+def fingerprint(text: Column, head: int = 64) -> Column:
+    """Portable content fingerprint: md5 of (length || first ``head`` chars).
+    Same literal value in any engine — usable as a cross-system dedup key."""
+    return F.md5(F.concat(F.length(text).cast("string"), F.lit(":"), F.substring(text, 1, head)))

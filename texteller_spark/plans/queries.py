@@ -1,0 +1,703 @@
+"""Driver-harness query catalog: every SURVEY.md §2 operator family gets a
+``queries()`` entry (Spark, idiomatic DataFrame/SQL) and — when
+SQL-expressible — an ``oracle_sql()`` entry (ANSI SQL for DuckDB on the same
+parquet).  Column names and types are aligned pair-by-pair; float aggregates
+are rounded at the final step only.
+
+Conventions for cross-engine value equality:
+* counts are explicitly BIGINT on the oracle side (DuckDB SUM(int) would be
+  HUGEINT otherwise);
+* no per-row rounding — only final aggregates, ROUND(x, d) both sides;
+* deterministic tie-breaks on every top-k / mode / ordered aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import textops
+from ..operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..operators.multimodal import attach_media, decode_features, sample_frames
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..plans.pipeline import extract_pages
+from ..sources.pages import pages_from_documents
+
+__all__ = ["QUERIES", "ORACLES", "flagship"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: the extraction pipeline over pages derived from the documents
+# table (rows-only check: not SQL-expressible)
+# --------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs)
+    out = extract_pages(pages)
+    return out.select(
+        "url",
+        F.size("spans").alias("n_spans"),
+        F.length("extracted_text").alias("n_chars"),
+        "extracted_text",
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL-oracle queries
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 analog (A3/A4 aggregations + P5 pruning)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)       AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)  AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)       AS avg_qty,
+       CAST(COUNT(*) AS BIGINT)        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_scalar(spark, sf):
+    """TPC-H Q6 analog: selective scan + single-row aggregate (P1/P2)."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+_SQL_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_region_rollup(spark, sf):
+    """J2: dimension joins, both broadcast (small dims → no shuffle)."""
+    c, n, r = _t(spark, sf, "customer"), _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+_SQL_REGION = """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_zip_positional(spark, sf):
+    """J1: positional zip join — posexplode keeps (pos, word) aligned with
+    zero shuffle (arrays stay row-local)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 3)).alias("pos", "word"),
+    )
+
+
+_SQL_ZIP = """
+SELECT doc_id,
+       CAST(unnest(generate_series(1, least(3, len(str_split(text,' '))))) - 1 AS INT) AS pos,
+       unnest(list_slice(str_split(text,' '), 1, 3)) AS word
+FROM documents
+"""
+
+
+def q_range_join(spark, sf):
+    """J3: interval/theta join — error events vs same-user events within 10
+    minutes."""
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_id"), F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    )
+    b = e.select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") < F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy(F.col("a_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_following"))
+    )
+
+
+_SQL_RANGE = """
+SELECT a.event_id AS event_id, CAST(COUNT(*) AS BIGINT) AS n_following
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 10 MINUTE
+WHERE a.event_type = 'error'
+GROUP BY a.event_id
+"""
+
+
+def q_sessionize(spark, sf):
+    """J4: gaps-and-islands sessionization (30-min inactivity gap)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+
+
+_SQL_SESSIONIZE = """
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+) GROUP BY user_id
+"""
+
+
+def q_next_event(spark, sf):
+    """J5: lead/lag transition pairs (the tag-reattach window shape)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+_SQL_NEXT = """
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM (SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events)
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+def q_mode(spark, sf):
+    """A1: deterministic mode (count + tie-break, the corner-vote analog)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(1)
+    )
+
+
+_SQL_MODE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+ORDER BY n DESC, event_type ASC LIMIT 1
+"""
+
+
+def q_ordered_concat(spark, sf):
+    """A2: per-group ordered fold — the assembly aggregation shape
+    (sort-inside-aggregate keeps it partition-invariant)."""
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("c_custkey", "c_name"))),
+                    lambda s: s["c_name"],
+                ),
+                "|",
+            ).alias("members"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+_SQL_ORDERED_CONCAT = """
+SELECT n_name,
+       string_agg(c_name, '|' ORDER BY c_custkey) AS members,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_first_per_group(spark, sf):
+    """W1: ranking window — first order per customer in reading order."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+_SQL_FIRST = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_interval_merge(spark, sf):
+    """W2: overlap-merge islands — each event is a [ts, ts+5min) interval;
+    merge overlaps per user (running-max sweep, the bbox_merge analog)."""
+    e = _t(spark, sf, "events").select(
+        "user_id", "ts", (F.unix_timestamp("ts") + 300).alias("end_s"),
+        F.unix_timestamp("ts").alias("start_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("start_s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    islands = (
+        e.withColumn("prev_max_end", F.max("end_s").over(w))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("start_s") > F.col("prev_max_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                Window.partitionBy("user_id").orderBy("start_s").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(F.min("start_s").alias("s"), F.max("end_s").alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("e") - F.col("s")).alias("busy_seconds"),
+        )
+    )
+
+
+_SQL_INTERVAL_MERGE = """
+WITH iv AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS start_s, CAST(floor(epoch(ts)) AS BIGINT) + 300 AS end_s
+  FROM events
+), flagged AS (
+  SELECT user_id, start_s, end_s,
+         CASE WHEN max(end_s) OVER (PARTITION BY user_id ORDER BY start_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR start_s > max(end_s) OVER (PARTITION BY user_id ORDER BY start_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), isl AS (
+  SELECT user_id, start_s, end_s,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY start_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(e - s) AS BIGINT) AS busy_seconds
+FROM (SELECT user_id, island, MIN(start_s) AS s, MAX(end_s) AS e
+      FROM isl GROUP BY user_id, island)
+GROUP BY user_id
+"""
+
+
+def q_topk_per_group(spark, sf):
+    """K1: top-3 per group with deterministic tie-break."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+_SQL_TOPK_GROUP = """
+SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders)
+WHERE rk <= 3
+"""
+
+
+def q_global_topk(spark, sf):
+    """K2: global top-10 (TakeOrderedAndProject, no full sort)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    )
+
+
+_SQL_GLOBAL_TOPK = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 10
+"""
+
+
+def q_set_ops(spark, sf):
+    """Set operators: intersect / except over customer key sets."""
+    spark.read.parquet(f"{sf}/orders.parquet").createOrReplaceTempView("orders")
+    spark.read.parquet(f"{sf}/customer.parquet").createOrReplaceTempView("customer")
+    return spark.sql(_SQL_SET_OPS)
+
+
+_SQL_SET_OPS = """
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM orders
+        INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) AS BIGINT) AS n_building_buyers,
+  CAST((SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+        EXCEPT SELECT o_custkey FROM orders)) AS BIGINT) AS n_never_ordered,
+  CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        UNION SELECT c_custkey FROM customer WHERE c_acctbal < 0)) AS BIGINT) AS n_union
+"""
+
+
+def q_distinct_pairs(spark, sf):
+    """Set-op / dedup primitive: distinct combos (W5 boundary-dedup analog)."""
+    e = _t(spark, sf, "events")
+    return e.select("user_id", "event_type").distinct().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+_SQL_DISTINCT = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+"""
+
+
+def q_json_extract(spark, sf):
+    """Scalar functions: JSON extraction + bucketed aggregate."""
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn(
+            "kb", (F.get_json_object("props", "$.k").cast("int") % 10)
+        )
+        .groupBy("kb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_SQL_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS kb,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup groups on content digest."""
+    d = _t(spark, sf, "documents")
+    return exact_duplicate_groups(d, "text")
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS digest, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+def q_token_stats(spark, sf):
+    """Token counting per language (whitespace tokenizer)."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(textops.token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_SQL_TOKEN_STATS = """
+SELECT lang,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(str_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_bpe_tokens(spark, sf):
+    """BPE-ish token estimate (regex token classes + long-word surcharge)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        textops.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+_SQL_BPE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+     + len(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))
+     + coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]{7,}'),
+                          w -> CAST(floor(length(w) / 6) AS INT))), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf):
+    """Language-ID heuristic vote counts."""
+    d = _t(spark, sf, "documents")
+    return d.select(textops.lang_id(F.col("text")).alias("pred_lang")).groupBy(
+        "pred_lang"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_LANG_ID = """
+WITH scored AS (
+  SELECT
+    len(list_filter(str_split_regex(lower(text), '\\s+'),
+        w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS en,
+    len(list_filter(str_split_regex(lower(text), '\\s+'),
+        w -> w IN ('der','die','das','und','ist','mit','für'))) AS de,
+    len(list_filter(str_split_regex(lower(text), '\\s+'),
+        w -> w IN ('el','la','los','de','que','y','es'))) AS es
+  FROM documents
+)
+SELECT CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+            WHEN de >= es AND de > 0 THEN 'de'
+            WHEN es > 0 THEN 'es' ELSE 'unk' END AS pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM scored GROUP BY 1
+"""
+
+
+def q_quality(spark, sf):
+    """Quality-score aggregate per language."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.avg(textops.quality_score(F.col("text"))), 3).alias("avg_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_SQL_QUALITY = """
+WITH q AS (
+  SELECT lang,
+    0.4 * least(length(text) / 500.0, 1.0)
+  + 0.4 * least(4.0 * len(list_filter(str_split_regex(lower(text), '\\s+'),
+        w -> w IN ('the','a','of','and','to','in','is','for','on','with')))
+        / greatest(len(str_split_regex(lower(text), '\\s+')), 1), 1.0)
+  + 0.2 * (1.0 - least(10.0 * length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+        / greatest(length(text), 1), 1.0)) AS score
+  FROM documents
+)
+SELECT lang, ROUND(AVG(score), 3) AS avg_quality, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM q GROUP BY lang
+"""
+
+
+def q_fingerprint(spark, sf):
+    """Portable content fingerprint (md5 head digest)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", textops.fingerprint(F.col("text")).alias("fp"))
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id, md5(CAST(length(text) AS VARCHAR) || ':' || text[1:64]) AS fp
+FROM documents
+"""
+
+
+def q_cosine_topk(spark, sf):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    e = _t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    top = brute_force_topk(e, qv, k=10)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+_SQL_COSINE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND(list_cosine_similarity(embedding, qv), 4) AS cosine
+FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (not SQL-expressible → driver records row-count check)
+# --------------------------------------------------------------------------
+
+def _near_dup_corpus(spark, sf):
+    """documents ∪ lightly-mutated copies (deterministic near-dups)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended mutation token")).alias("text"),
+    )
+    return d.unionByName(mutated)
+
+
+def q_minhash_lsh(spark, sf):
+    pairs = minhash_lsh_pairs(_near_dup_corpus(spark, sf), bands=16, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q_simhash(spark, sf):
+    return simhash_near_pairs(_near_dup_corpus(spark, sf), max_hamming=3)
+
+
+def q_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(
+        _near_dup_corpus(spark, sf), n=3, threshold=0.5, max_shingle_df=30
+    )
+
+
+def q_ann_lsh(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_topk(e, qv, k=10, bits=6, probes=4).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_media_features(spark, sf):
+    d = _t(spark, sf, "documents")
+    feats = decode_features(attach_media(d))
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("byte_entropy"), 3).alias("avg_entropy"),
+        F.round(F.avg("n_bytes"), 1).alias("avg_bytes"),
+    )
+
+
+def q_media_frames(spark, sf):
+    d = _t(spark, sf, "documents")
+    frames = sample_frames(attach_media(d))
+    return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+QUERIES = {
+    "flagship_extract": flagship,
+    "q1_pricing_summary": q_pricing_summary,
+    "q6_revenue_scalar": q_revenue_scalar,
+    "j2_region_rollup": q_region_rollup,
+    "j1_zip_positional": q_zip_positional,
+    "j3_range_join": q_range_join,
+    "j4_sessionize": q_sessionize,
+    "j5_next_event": q_next_event,
+    "a1_mode": q_mode,
+    "a2_ordered_concat": q_ordered_concat,
+    "w1_first_per_group": q_first_per_group,
+    "w2_interval_merge": q_interval_merge,
+    "k1_topk_per_group": q_topk_per_group,
+    "k2_global_topk": q_global_topk,
+    "set_ops": q_set_ops,
+    "set_distinct": q_distinct_pairs,
+    "f_json_extract": q_json_extract,
+    "dedup_exact": q_dedup_exact,
+    "text_token_stats": q_token_stats,
+    "text_bpe_tokens": q_bpe_tokens,
+    "text_lang_id": q_lang_id,
+    "text_quality": q_quality,
+    "text_fingerprint": q_fingerprint,
+    "sim_cosine_topk": q_cosine_topk,
+    "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_simhash": q_simhash,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "sim_ann_lsh": q_ann_lsh,
+    "mm_media_features": q_media_features,
+    "mm_media_frames": q_media_frames,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _SQL_PRICING,
+    "q6_revenue_scalar": _SQL_REVENUE,
+    "j2_region_rollup": _SQL_REGION,
+    "j1_zip_positional": _SQL_ZIP,
+    "j3_range_join": _SQL_RANGE,
+    "j4_sessionize": _SQL_SESSIONIZE,
+    "j5_next_event": _SQL_NEXT,
+    "a1_mode": _SQL_MODE,
+    "a2_ordered_concat": _SQL_ORDERED_CONCAT,
+    "w1_first_per_group": _SQL_FIRST,
+    "w2_interval_merge": _SQL_INTERVAL_MERGE,
+    "k1_topk_per_group": _SQL_TOPK_GROUP,
+    "k2_global_topk": _SQL_GLOBAL_TOPK,
+    "set_ops": _SQL_SET_OPS,
+    "set_distinct": _SQL_DISTINCT,
+    "f_json_extract": _SQL_JSON,
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "text_token_stats": _SQL_TOKEN_STATS,
+    "text_bpe_tokens": _SQL_BPE,
+    "text_lang_id": _SQL_LANG_ID,
+    "text_quality": _SQL_QUALITY,
+    "text_fingerprint": _SQL_FINGERPRINT,
+    "sim_cosine_topk": _SQL_COSINE,
+}

@@ -23,13 +23,17 @@ def ship_package(spark: SparkSession) -> None:
     """Ship this package to executors — the in-process analog of
     ``spark-submit --py-files texteller_spark.zip`` (north rule). Makes the
     session independent of the driver's working directory."""
+    sc = spark.sparkContext
+    if getattr(sc, "_texteller_shipped", False):
+        return
+    sc._texteller_shipped = True
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     stage = tempfile.mkdtemp(prefix="texteller_pyfiles_")
     zip_path = shutil.make_archive(
         os.path.join(stage, "texteller_spark"), "zip",
         root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir),
     )
-    spark.sparkContext.addPyFile(zip_path)
+    sc.addPyFile(zip_path)
 
 
 def default_parallelism() -> int:

@@ -345,6 +345,54 @@ def _page_udf(idx: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def doc_blocks(doc_id: int, text: str) -> list[list[tuple[str, str]]]:
+    """Deterministic page structure for a driver-table document: the text
+    split into two paragraphs with one inline and one display formula
+    injected, keyed by doc_id."""
+    words = (text or "").split()
+    mid = max(1, len(words) // 2)
+    return [
+        [("text", f"document {doc_id}")],
+        [("text", " ".join(words[:mid]) or "empty")],
+        [
+            ("text", "see "),
+            ("embedding", "$" + _INLINE_TEX[doc_id % len(_INLINE_TEX)] + "$"),
+            ("text", " now."),
+        ],
+        [("isolated", "$$" + _DISPLAY_TEX[doc_id % len(_DISPLAY_TEX)] + "$$")],
+        [("text", " ".join(words[mid:]) or "end")],
+    ]
+
+
+def page_from_doc(doc_id: int, text: str, lang: str) -> dict:
+    blocks = doc_blocks(doc_id, text)
+    rng = random.Random((SEED << 32) ^ (doc_id + 1_000_003))
+    html_str = _render_html(blocks[0][0][1], blocks, rng)
+    return {
+        "url": f"https://synth.test/docs/{doc_id}",
+        "warc_ts": (EPOCH + datetime.timedelta(seconds=60 * doc_id)).replace(tzinfo=None),
+        "html": html_str.encode("utf-8"),
+        "text": text,
+        "lang": lang or "en",
+    }
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, lang) → deterministic pages table (Arrow-batched,
+    executor-side rendering; the flagship-query bridge from the driver's
+    ``documents`` parquet to the authoritative input shape)."""
+
+    @pandas_udf(_PAGE_SCHEMA)
+    def _doc_page_udf(doc_id: pd.Series, text: pd.Series, lang: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [page_from_doc(int(i), t, l) for i, t, l in zip(doc_id, text, lang)]
+        )
+
+    return docs.select(
+        _doc_page_udf(F.col("doc_id"), F.col("text"), F.col("lang")).alias("p")
+    ).select("p.*")
+
+
 def pages_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
     """Distributed deterministic corpus: ``spark.range(n)`` → page rows.
 
