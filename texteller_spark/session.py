@@ -57,7 +57,9 @@ def _build(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.python.worker.reuse", "true")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # UDF-heavy scans: smaller splits → parallelism without a repartition
+        # shuffle (32 MB ≈ a few thousand pages per task)
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -1,0 +1,51 @@
+"""Structured Streaming lift of the extraction pipeline.
+
+All three kernels (detect / recognize / assemble) are stateless per-row or
+per-group, so they lift to streaming unchanged: ``readStream`` on the pages
+source → same detect/recognize stages → windowed or ``update``-mode
+assembly.  Late pages are governed by a ``warc_ts`` watermark.
+
+The batch reference has no streaming counterpart (the closest is the Ray
+Serve request loop, ``/root/reference/src/server.py:137-157``); this module
+is the Spark-native generalization: the same plan over an unbounded source.
+
+In-sandbox it is exercised with the ``rate`` source + ``foreachBatch`` into
+memory (tests); at production the source is an Iceberg streaming read and
+the sink an Iceberg table with exactly-once semantics via checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.detect import with_spans
+from ..operators.recognize import recognize_udf
+
+__all__ = ["streaming_extract", "streaming_span_rates"]
+
+
+def streaming_extract(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming pages → recognized spans (append-mode safe: no global
+    aggregation; per-url assembly happens downstream per micro-batch via
+    ``foreachBatch`` or in update mode)."""
+    spans = (
+        with_spans(pages_stream.withWatermark("warc_ts", watermark))
+        .select("url", "warc_ts", F.explode_outer("spans").alias("span"))
+        .select("url", "warc_ts", "span.*")
+    )
+    return spans.withColumn("content", recognize_udf(F.col("kind"), F.col("raw")))
+
+
+def streaming_span_rates(pages_stream: DataFrame, watermark: str = "1 hour",
+                         window: str = "10 minutes") -> DataFrame:
+    """Windowed aggregate over the stream: span counts by kind per
+    ``warc_ts`` window (late data beyond the watermark drops)."""
+    spans = (
+        with_spans(pages_stream.withWatermark("warc_ts", watermark))
+        .select("warc_ts", F.explode("spans").alias("span"))
+        .select("warc_ts", "span.kind")
+    )
+    return spans.groupBy(F.window("warc_ts", window), "kind").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
