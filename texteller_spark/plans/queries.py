@@ -581,7 +581,7 @@ def q_cosine_topk(spark, sf):
 
 _SQL_COSINE = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, ROUND(list_cosine_similarity(embedding, qv), 4) AS cosine
+SELECT vec_id, ROUND(CAST(list_cosine_similarity(embedding, qv) AS DOUBLE), 4) AS cosine
 FROM embeddings, q
 ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id ASC
 LIMIT 10
