@@ -58,6 +58,8 @@ def main() -> None:
         "j2_region_rollup": lambda: Q.q_region_rollup(spark, SF_DIR),
         "j3_range_join": lambda: Q.q_range_join(spark, SF_DIR),
         "j4_sessionize": lambda: Q.q_sessionize(spark, SF_DIR),
+        "j6_semi_anti": lambda: Q.q_semi_anti(spark, SF_DIR),
+        "j7_asof_join": lambda: Q.q_asof_join(spark, SF_DIR),
         "w2_interval_merge": lambda: Q.q_interval_merge(spark, SF_DIR),
         "k1_topk_per_group": lambda: Q.q_topk_per_group(spark, SF_DIR),
         "dedup_exact": lambda: Q.q_dedup_exact(spark, SF_DIR),

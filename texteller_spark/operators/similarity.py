@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
-__all__ = ["cosine_to_query", "brute_force_topk", "with_lsh_bucket", "lsh_topk"]
+__all__ = [
+    "cosine_to_query",
+    "brute_force_topk",
+    "with_lsh_bucket",
+    "lsh_topk",
+    "embedding_near_dup_pairs",
+]
 
 _SEED = 42
 
@@ -62,6 +68,55 @@ def brute_force_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all ``(id_a < id_b)`` with
+    ``round(cosine, round_digits) >= threshold``.
+
+    This is the exactness baseline: per-row norms are precomputed once
+    (JVM ``aggregate``), then a theta self-join on ``id_a < id_b`` with a
+    ``zip_with`` dot product — every expression is whole-stage-codegen'd,
+    no Python. The O(n²) pair space is the point of the *baseline*; the
+    scale path for 10^12 rows is the same cosine inside LSH buckets
+    (``with_lsh_bucket`` → equi-join on ``bucket`` → this predicate), which
+    bounds candidates per row by bucket size exactly like the MinHash band
+    join in ``dedup.minhash_lsh_pairs``. Rounding *before* the threshold
+    keeps membership deterministic across engines.
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    sided = df.select(
+        F.col(id_col), F.col(vec_col), norm.alias("_nrm")
+    )
+    a = sided.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na")
+    )
+    b = sided.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_nrm").alias("_nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), round_digits))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+    return pairs.select("id_a", "id_b", "cosine")
 
 
 def _hyperplanes(dim: int, bits: int) -> np.ndarray:

@@ -25,7 +25,7 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..operators.multimodal import attach_media, decode_features, sample_frames
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, embedding_near_dup_pairs, lsh_topk
 from ..plans.pipeline import extract_pages
 from ..sources.pages import pages_from_documents
 
@@ -635,6 +635,171 @@ FROM events GROUP BY event_type
 """
 
 
+def q_semi_anti(spark, sf):
+    """Semi/anti joins (SURVEY §2.3 harness surface): per market segment,
+    customers with ≥1 finished order (left_semi) vs customers with no
+    orders at all (left_anti). Both join only on the key column, so the
+    probe side ships just ``o_custkey`` — at 10^12 rows the semi/anti
+    build is a bloom-prunable key set, never the full orders payload."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    all_keys = o.select(F.col("o_custkey").alias("c_custkey"))
+    semi = (
+        c.join(f_keys, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_f_order"))
+    )
+    anti = (
+        c.join(all_keys, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_no_orders"))
+    )
+    return (
+        semi.join(anti, "c_mktsegment", "full_outer")
+        .na.fill(0, ["n_with_f_order", "n_no_orders"])
+    )
+
+
+_SQL_SEMI_ANTI = """
+WITH s AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_with_f_order
+  FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+  GROUP BY c_mktsegment
+), a AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_no_orders
+  FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  GROUP BY c_mktsegment
+)
+SELECT COALESCE(s.c_mktsegment, a.c_mktsegment) AS c_mktsegment,
+       CAST(COALESCE(s.n_with_f_order, 0) AS BIGINT) AS n_with_f_order,
+       CAST(COALESCE(a.n_no_orders, 0) AS BIGINT) AS n_no_orders
+FROM s FULL OUTER JOIN a ON s.c_mktsegment = a.c_mktsegment
+"""
+
+
+def q_asof_join(spark, sf):
+    """As-of join, shuffle-minimal form: for each error event, the value of
+    the most recent click by the same user at-or-before it. Instead of a
+    range self-join (quadratic in events-per-user), tag both streams, union,
+    and carry ``last(click_value, ignorenulls)`` over one ordered window —
+    a single shuffle on ``user_id``, linear work per partition. Clicks sort
+    before errors at equal ts (``is_probe`` tiebreak) to match ASOF
+    ``a.ts >= b.ts`` semantics. DuckDB oracle uses its native ASOF JOIN."""
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.col("value").alias("click_value"),
+        F.lit(0).alias("is_probe"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(1).alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(errors)
+        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("event_id", F.round("last_click_value", 4).alias("last_click_value"))
+    )
+
+
+_SQL_ASOF = """
+SELECT a.event_id AS event_id, ROUND(b.value, 4) AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'error') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+def q_rollup(spark, sf):
+    """A-family grouping sets: customer counts rolled up region → nation →
+    grand total (Spark ``rollup`` ≡ GROUP BY ROLLUP). Dims broadcast; the
+    rollup is one shuffle with partial aggregation at every grouping level."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+_SQL_ROLLUP = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs (dedup family, exact baseline);
+    scale path = same predicate inside LSH buckets (see similarity.py)."""
+    e = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.45)
+
+
+_SQL_EMB_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.45
+"""
+
+
+def q_rank_frames(spark, sf):
+    """W-family frame specs: rank() per user by value, plus a 3-row moving
+    average over event time (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) —
+    the explicit-frame window surface (SURVEY §2.5)."""
+    e = _t(spark, sf, "events")
+    w_rank = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    w_avg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.rank().over(w_rank).alias("value_rank"),
+        F.round(F.avg("value").over(w_avg), 4).alias("mavg3"),
+    )
+
+
+_SQL_RANK_FRAMES = """
+SELECT event_id,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT)
+         AS value_rank,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+FROM events
+"""
+
+
 def q_fixture_scan(spark, sf):
     """S4: JSONL fixture scan + normalization kernel over it (the
     reference's formulas.jsonl loader re-expressed; fixture synthesized
@@ -754,6 +919,11 @@ QUERIES = {
     "sim_cosine_topk": q_cosine_topk,
     "p4_train_filter": q_train_filter,
     "skew_salted_agg": q_salted_agg,
+    "j6_semi_anti": q_semi_anti,
+    "j7_asof_join": q_asof_join,
+    "a3_rollup": q_rollup,
+    "dedup_embedding_cosine": q_embedding_near_dup,
+    "w4_rank_frames": q_rank_frames,
     "s4_fixture_scan": q_fixture_scan,
     "s5_span_table": q_span_table,
     "dedup_minhash_lsh": q_minhash_lsh,
@@ -790,4 +960,9 @@ ORACLES = {
     "sim_cosine_topk": _SQL_COSINE,
     "p4_train_filter": _SQL_TRAIN_FILTER,
     "skew_salted_agg": _SQL_SALTED_AGG,
+    "j6_semi_anti": _SQL_SEMI_ANTI,
+    "j7_asof_join": _SQL_ASOF,
+    "a3_rollup": _SQL_ROLLUP,
+    "dedup_embedding_cosine": _SQL_EMB_NEAR_DUP,
+    "w4_rank_frames": _SQL_RANK_FRAMES,
 }
