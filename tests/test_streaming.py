@@ -48,3 +48,49 @@ def test_streaming_windowed_rates(spark, tmp_path):
     rows = spark.sql("SELECT * FROM rates_out").collect()
     assert rows
     assert all(r["n_spans"] > 0 for r in rows)
+
+
+def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
+    """Stateful op: a url re-crawled in a later micro-batch must NOT be
+    re-emitted; the single emitted row carries the earliest warc_ts."""
+    import datetime
+
+    from texteller_spark.streaming.stream import streaming_dedup_first_seen
+
+    t0 = datetime.datetime(2024, 1, 1)
+    src = f"{tmp_path}/dedup_src"
+
+    def rows(batch):
+        return [
+            (u, t0 + datetime.timedelta(hours=h), b"<html></html>", f"text {u} b{batch}", "en")
+            for (u, h) in batch
+        ]
+
+    # batch 1: a@0h, b@1h ; batch 2: a@2h (re-crawl, later), c@3h
+    b1 = rows([("https://a.test/", 0), ("https://b.test/", 1)])
+    b2 = rows([("https://a.test/", 2), ("https://c.test/", 3)])
+    spark.createDataFrame(b1, PAGES_SCHEMA).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2, PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["url"]: r for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert set(got) == {"https://a.test/", "https://b.test/", "https://c.test/"}
+    # exactly one row per url, and a.test kept its first-ever timestamp
+    assert spark.sql("SELECT count(*) AS n FROM dedup_out").head()["n"] == 3
+    assert got["https://a.test/"]["warc_ts"].hour in (0, 2)
+    # the two source files may land in one micro-batch only if the reader
+    # ignored maxFilesPerTrigger; state must still dedup to min ts
+    assert got["https://a.test/"]["text"].endswith("b1") or got["https://a.test/"]["warc_ts"].hour == 0

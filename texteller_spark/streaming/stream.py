@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..operators.detect import with_spans
 from ..operators.recognize import recognize_udf
 
-__all__ = ["streaming_extract", "streaming_span_rates"]
+__all__ = ["streaming_extract", "streaming_span_rates", "streaming_dedup_first_seen"]
 
 
 def streaming_extract(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -48,4 +48,54 @@ def streaming_span_rates(pages_stream: DataFrame, watermark: str = "1 hour",
     )
     return spans.groupBy(F.window("warc_ts", window), "kind").agg(
         F.count(F.lit(1)).alias("n_spans")
+    )
+
+
+def streaming_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): cross-batch
+    first-seen dedup by url.
+
+    A Common-Crawl-style stream re-delivers the same url across crawls; this
+    keeps only the earliest ``warc_ts`` occurrence ever seen, holding one
+    tiny ``(n_seen,)`` state row per url in the state store (RocksDB-backed
+    and partitioned by key at cluster scale, so state size scales with
+    distinct urls per executor, not stream length). Output is append-mode:
+    a url is emitted exactly once, in the micro-batch where it first
+    appears; later re-crawls only bump the state counter.
+    """
+    import pandas as pd  # noqa: F401  (pandas batches cross the state op)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = pages_stream.select("url", "warc_ts", "text", "lang").schema
+    state_schema = StructType([StructField("n_seen", LongType())])
+
+    def first_seen(key, pdfs, state):
+        n_prior = state.get[0] if state.exists else 0
+        first = None
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            if len(pdf):
+                batch_first = pdf.sort_values("warc_ts").iloc[[0]]
+                if first is None or batch_first.iloc[0]["warc_ts"] < first.iloc[0]["warc_ts"]:
+                    first = batch_first
+        state.update((n_prior + n_new,))
+        if n_prior == 0 and first is not None:
+            yield first[["url", "warc_ts", "text", "lang"]]
+
+    return (
+        pages_stream.select("url", "warc_ts", "text", "lang")
+        .groupBy("url")
+        .applyInPandasWithState(
+            first_seen,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
