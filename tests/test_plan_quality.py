@@ -1,0 +1,97 @@
+"""Physical-plan regression tests: the *shape* of each plan is part of the
+contract at 100 TB, not an implementation detail. Each assertion pins a
+scale-critical property (filter pushdown, column pruning, broadcast vs
+shuffle join, top-k pushdown, shuffle count) so a refactor that silently
+de-optimizes a query fails here before it ships.
+
+Plan strings come from ``queryExecution().executedPlan()`` — driver-side
+only, nothing is executed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def Q():
+    from texteller_spark.plans import queries
+
+    return queries
+
+
+def test_q1_pushdown_prune_partial_agg(spark, Q):
+    p = plan_of(Q.q_pricing_summary(spark, SF))
+    # filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # column pruning: html-sized columns like l_comment never exist here, but
+    # the scan must not read join keys it doesn't need
+    assert "l_partkey" not in p
+    # map-side combine before the exchange
+    assert "partial_sum" in p
+    assert p.count("Exchange") == 1
+
+
+def test_dim_joins_broadcast_never_shuffle(spark, Q):
+    for q in (Q.q_region_rollup, Q.q_rollup):
+        p = plan_of(q(spark, SF))
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_semi_anti_are_broadcast_key_only(spark, Q):
+    p = plan_of(Q.q_semi_anti(spark, SF))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+    # the orders side ships only its key column into each semi/anti build
+    assert "o_totalprice" not in p and "o_orderdate" not in p
+
+
+def test_asof_join_single_shuffle(spark, Q):
+    """The union+last(ignorenulls) as-of rewrite must cost exactly one
+    hash exchange (on user_id) — if a range self-join sneaks back in, the
+    Exchange count or a join node betrays it."""
+    p = plan_of(Q.q_asof_join(spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p  # no join operator at all: it's a window rewrite
+
+
+def test_topk_pushes_down(spark, Q):
+    # per-group top-k: rank filter becomes WindowGroupLimit (partial+final),
+    # so each map task keeps k rows per group before the shuffle
+    p1 = plan_of(Q.q_topk_per_group(spark, SF))
+    assert "WindowGroupLimit" in p1 and "Partial" in p1
+    # global top-k: TakeOrderedAndProject, never a global Sort
+    p2 = plan_of(Q.q_global_topk(spark, SF))
+    assert "TakeOrderedAndProject" in p2
+    assert "Exchange rangepartitioning" not in p2
+    # brute-force cosine: same property with the JVM cosine expression
+    p3 = plan_of(Q.q_cosine_topk(spark, SF))
+    assert "TakeOrderedAndProject" in p3
+    assert "ArrowEvalPython" not in p3  # cosine stays JVM-side
+
+
+def test_extraction_pipeline_is_shuffle_free(spark):
+    from texteller_spark.plans.pipeline import extract_pages
+    from texteller_spark.sources.pages import pages_from_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(extract_pages(pages_from_documents(docs)))
+    # the whole detect→recognize→normalize→assemble path is a map over scan
+    # splits: Arrow kernels only, zero exchanges → scales linearly with
+    # executors until the scan saturates
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p
+
+
+def test_span_queries_keep_scan_pruned(spark, Q):
+    # metric-only queries over documents must not drag the full text column
+    # through a shuffle: the scan projects, the agg is partial+final
+    p = plan_of(Q.q_token_stats(spark, SF))
+    assert "partial_" in p
