@@ -84,13 +84,57 @@ def _minhash_sig(text: str, k: int) -> list[int]:
     return m.min(axis=1).astype(np.int64).tolist()
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Ensure at least one partition per core before a CPU-bound Arrow
+    kernel. A small/coalesced input (few parquet files) would otherwise pin
+    the signature UDF to that partition count regardless of cluster size —
+    the N→4N scaling killer. At real scale input splits ≫ cores and this is
+    a no-op (no shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_minhash(df: DataFrame, text_col: str = "text", shingle_k: int = 3) -> DataFrame:
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in it:
             yield texts.map(lambda t: _minhash_sig(t or "", shingle_k))
 
-    return df.withColumn("minhash", sig_udf(F.col(text_col)))
+    return _widen(df).withColumn("minhash", sig_udf(F.col(text_col)))
+
+
+def _bucket_join_pairs(banded: DataFrame, sig_col: str) -> DataFrame:
+    """Same-bucket candidate pairs via the banded self-join.
+
+    ``banded`` must be backed by a materialized signature stage (persisted
+    here; an intermediate Iceberg signature table in production — the same
+    resumable-checkpoint pattern as the span table) so the Arrow signature
+    kernel runs ONCE, not once per join side: Spark does not plan a
+    ReusedExchange across Python eval nodes, so an unmaterialized self-join
+    re-executes the UDF on both sides. The join itself streams bucket
+    collisions (no per-bucket array materialization — a hot bucket degrades
+    to extra join output rows spread across tasks, not one quadratic task).
+    """
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col(f"a.{sig_col}").alias("sig_a"),
+            F.col(f"b.{sig_col}").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def minhash_lsh_pairs(
@@ -102,9 +146,13 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash, verified by estimated
-    Jaccard (signature agreement) ≥ threshold. Returns (id_a, id_b, est_jaccard)."""
+    Jaccard (signature agreement) ≥ threshold. Returns (id_a, id_b, est_jaccard).
+
+    One Arrow signature pass (materialized — see ``_bucket_join_pairs``),
+    then a bucket join on (band_id, band_hash)."""
     rows_per_band = _N_HASHES // bands
-    sigs = with_minhash(df, text_col, shingle_k).select(id_col, "minhash")
+    sigs = with_minhash(df, text_col, shingle_k).select(id_col, "minhash").persist()
+    sigs.count()  # eager: both join sides must read the cache, not race to fill it
 
     banded = sigs.select(
         F.col(id_col).alias("id"),
@@ -121,24 +169,7 @@ def minhash_lsh_pairs(
         ).alias("band_id", "band_hash"),
     ).select("id", "minhash", "band_id", "band_hash")
 
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.minhash").alias("sig_a"),
-            F.col("b.minhash").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _bucket_join_pairs(banded, "minhash")
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
@@ -176,15 +207,22 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
         for texts in it:
             yield texts.map(lambda t: _simhash64(t or ""))
 
-    return df.withColumn("simhash", sim_udf(F.col(text_col)))
+    return _widen(df).withColumn("simhash", sim_udf(F.col(text_col)))
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 16-bit-chunk
-    banding (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks identical)."""
-    sigs = with_simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    banding (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks identical).
+    Same materialize-once bucket-join strategy as MinHash."""
+    sigs = (
+        with_simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash").persist()
+    )
+    sigs.count()  # eager materialization (see minhash_lsh_pairs)
     chunked = sigs.select(
         "id",
         "simhash",
@@ -195,27 +233,10 @@ def simhash_near_pairs(
                     for i in range(4)
                 ]
             )
-        ).alias("chunk_id", "chunk"),
+        ).alias("band_id", "band_hash"),
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.chunk_id") == F.col("b.chunk_id"),
-                F.col("a.chunk") == F.col("b.chunk"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    cand = _bucket_join_pairs(chunked, "simhash")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
