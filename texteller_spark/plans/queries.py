@@ -868,6 +868,38 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
+_SQL_NGRAM_JACCARD = r"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS id, text || ' appended mutation token' AS text
+  FROM documents
+), words AS (
+  SELECT id, str_split_regex(text, '\s+') AS w FROM corpus
+), grams AS (
+  SELECT DISTINCT id, array_to_string(list_slice(w, i + 1, i + 3), ' ') AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(0, greatest(len(w) - 3, 0))) AS i
+  )
+), sizes AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY id
+), rare AS (
+  SELECT g.id, g.gram FROM grams g
+  JOIN (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 30) r USING (gram)
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM rare a JOIN rare b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = inter.id_a
+JOIN sizes sb ON sb.id = inter.id_b
+WHERE n_inter / (sa.n_grams + sb.n_grams - n_inter) >= 0.5
+"""
+
+
 def q_ann_lsh(spark, sf):
     e = _t(spark, sf, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -964,5 +996,6 @@ ORACLES = {
     "j7_asof_join": _SQL_ASOF,
     "a3_rollup": _SQL_ROLLUP,
     "dedup_embedding_cosine": _SQL_EMB_NEAR_DUP,
+    "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "w4_rank_frames": _SQL_RANK_FRAMES,
 }
