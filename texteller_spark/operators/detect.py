@@ -155,6 +155,9 @@ def detect_document(doc: str) -> list[Span]:
     def scan_text_node(start: int, end: int) -> None:
         """Split a text node into math spans and surrounding text pieces."""
         node = doc[start:end]
+        if "$" not in node and "\\(" not in node and "\\[" not in node:
+            add_text(node, start, end)  # fast path: no math delimiters at all
+            return
         pos = 0
         for m in _MATH_RE.finditer(node):
             kind, conf = _classify_tex(m)
