@@ -21,9 +21,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# glibc tuning inherited by Python workers (must be set before the JVM
+# starts): avoid mmap/munmap per large html string — munmap TLB-shootdown
+# IPIs scale badly with worker count (+19% at 32 cores, measured)
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "134217728")
+os.environ.setdefault("MALLOC_ARENA_MAX", "2")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+#: restrict to a comma-separated subset (scaling experiment runs only the
+#: pipeline); empty = all
+ONLY = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 #: materialized synthetic corpus (generated once, untimed — production reads
 #: an existing table; generating inside the timed path would measure synth)
 CORPUS = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", f"/tmp/texteller_pages_{N_DOCS}")
@@ -71,18 +82,26 @@ def main() -> None:
         "mm_media_features": lambda: Q.q_media_features(spark, SF_DIR),
     }
 
+    if ONLY:
+        builders = {k: v for k, v in builders.items() if k in ONLY}
+
     # --- warmup pass (excluded): primes JVM JIT, whole-stage-codegen cache,
-    # and Python workers, exactly like the reference's first-image skip.
-    # The extraction warmup uses a small corpus; SQL queries run full.
-    force(extract_pages(corpus.limit(2000)))
+    # Python workers, and the OS page cache for the whole corpus, exactly
+    # like the reference's first-image skip. A FULL extraction pass is
+    # needed: a partial warmup leaves most scan splits cold and the first
+    # timed run then absorbs one-time costs (measured: first full pass up
+    # to 3x steady state on this host).
+    if "pipeline_extract" in builders:
+        force(extract_pages(corpus))
     for name, b in builders.items():
         if name != "pipeline_extract":
             force(b())
 
-    # --- timed pass (steady state); the flagship metric is median-of-3 ---
+    # --- timed pass (steady state); the flagship metric is median-of-REPS
+    # (host exhibits kernel-time noise storms; a wider median resists them)
     timings: dict[str, float] = {}
     for name, b in builders.items():
-        reps = 3 if name == "pipeline_extract" else 1
+        reps = REPS if name == "pipeline_extract" else 1
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -92,7 +111,11 @@ def main() -> None:
         timings[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
-    docs_per_sec = round(N_DOCS / timings["pipeline_extract"], 1)
+    docs_per_sec = (
+        round(N_DOCS / timings["pipeline_extract"], 1)
+        if "pipeline_extract" in timings
+        else None
+    )
     print(
         json.dumps(
             {

@@ -62,6 +62,15 @@ def test_asof_join_single_shuffle(spark, Q):
     assert "Join" not in p  # no join operator at all: it's a window rewrite
 
 
+def test_star_schema_broadcasts_all_dims(spark, Q):
+    """Q9-shape: three dims broadcast, the only exchange is the final
+    groupBy — the fact table is scanned once and never shuffled pre-agg."""
+    p = plan_of(Q.q_profit_by_nation_brand(spark, SF))
+    assert p.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
 def test_topk_pushes_down(spark, Q):
     # per-group top-k: rank filter becomes WindowGroupLimit (partial+final),
     # so each map task keeps k rows per group before the shuffle

@@ -130,6 +130,77 @@ GROUP BY r_name
 """
 
 
+def q_shipping_priority(spark, sf):
+    """TPC-H Q3 analog: the fact-to-fact (orders ⋈ lineitem) key-distributed
+    join — left to Catalyst/AQE (broadcast at test scale, shuffle join with
+    co-partitioning/bucketing at 10^12 rows). Deterministic top-10."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-30"))
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-06-30"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        )
+        .orderBy(F.desc("_rev"), F.asc("l_orderkey"))  # order on the UNrounded sum
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.round("_rev", 2).alias("revenue"),
+        )
+    )
+
+
+_SQL_SHIPPING = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1997-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_profit_by_nation_brand(spark, sf):
+    """TPC-H Q9 analog: star-schema fact scan with three broadcast dims
+    (part, supplier, nation) — one shuffle total, for the final groupBy."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_SQL_PROFIT = """
+SELECT n_name, p_brand,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, p_brand
+"""
+
+
 def q_zip_positional(spark, sf):
     """J1: positional zip join — posexplode keeps (pos, word) aligned with
     zero shuffle (arrays stay row-local)."""
@@ -929,6 +1000,8 @@ QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q6_revenue_scalar": q_revenue_scalar,
     "j2_region_rollup": q_region_rollup,
+    "q3_shipping_priority": q_shipping_priority,
+    "q9_profit_star": q_profit_by_nation_brand,
     "j1_zip_positional": q_zip_positional,
     "j3_range_join": q_range_join,
     "j4_sessionize": q_sessionize,
@@ -970,6 +1043,8 @@ ORACLES = {
     "q1_pricing_summary": _SQL_PRICING,
     "q6_revenue_scalar": _SQL_REVENUE,
     "j2_region_rollup": _SQL_REGION,
+    "q3_shipping_priority": _SQL_SHIPPING,
+    "q9_profit_star": _SQL_PROFIT,
     "j1_zip_positional": _SQL_ZIP,
     "j3_range_join": _SQL_RANGE,
     "j4_sessionize": _SQL_SESSIONIZE,
