@@ -67,6 +67,8 @@ def main() -> None:
         "q1_pricing_summary": lambda: Q.q_pricing_summary(spark, SF_DIR),
         "q6_revenue_scalar": lambda: Q.q_revenue_scalar(spark, SF_DIR),
         "j2_region_rollup": lambda: Q.q_region_rollup(spark, SF_DIR),
+        "q3_shipping_priority": lambda: Q.q_shipping_priority(spark, SF_DIR),
+        "q9_profit_star": lambda: Q.q_profit_by_nation_brand(spark, SF_DIR),
         "j3_range_join": lambda: Q.q_range_join(spark, SF_DIR),
         "j4_sessionize": lambda: Q.q_sessionize(spark, SF_DIR),
         "j6_semi_anti": lambda: Q.q_semi_anti(spark, SF_DIR),
