@@ -172,3 +172,23 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         decode_features(media, require_real=True).collect()
+
+
+def test_multimodal_resize(spark):
+    from texteller_spark.operators.multimodal import attach_media, resize_media
+
+    df = spark.createDataFrame(
+        [(i, "payload text " * (i + 1) * 40) for i in range(9)], ["doc_id", "text"]
+    )
+    media = attach_media(df)
+    out = {r["media_id"]: r for r in resize_media(media, width=16, height=16).collect()}
+    assert len(out) == 9
+    for mid, r in out.items():
+        if r["kind"] == "image":
+            assert len(r["payload"]) == 16 * 16  # fixed target size contract
+            assert r["width"] == 16 and r["height"] == 16
+        else:  # pass-through rows untouched
+            assert r["width"] is None and r["height"] is None
+    # schema-stable: stages compose (resize → resize is valid)
+    again = resize_media(resize_media(media, 16, 16), 16, 16).count()
+    assert again == 9

@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "attach_media", "decode_features", "sample_frames"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media",
+    "decode_features",
+    "sample_frames",
+    "resize_media",
+]
 
 #: media sidecar: opaque payload + typed metadata (never inspected by Spark)
 MEDIA_SCHEMA = T.StructType(
@@ -112,6 +118,50 @@ def decode_features(df: DataFrame, require_real: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def _resize_stub(payload: bytes, w: int, h: int, require_real: bool) -> bytes:
+    """STUB for the native resize (PIL/cv2 bicubic — the reference resizes
+    to ≤448², transforms.py:89-97). Deterministic fake: stride-subsample the
+    payload to exactly ``w*h`` bytes (pad with zeros when shorter), so the
+    output size contract (fixed target dims) is real and testable."""
+    if require_real:
+        raise NotImplementedError(
+            "real image resize requires PIL/cv2 — not available in this "
+            "container; deploy with the codec libs and replace _resize_stub"
+        )
+    p = payload or b"\x00"
+    n = w * h
+    if len(p) >= n:
+        stride = len(p) // n
+        return p[:: stride][:n]
+    return p + b"\x00" * (n - len(p))
+
+
+def resize_media(
+    df: DataFrame, width: int = 448, height: int = 448, require_real: bool = False
+) -> DataFrame:
+    """media table → payloads resized to fixed target dims (the analog of
+    the reference's 448×448 inference transform), Arrow-batched
+    ``mapInPandas``; ``width``/``height`` metadata updated to the target.
+    Only ``kind='image'`` rows are transformed; others pass through
+    untouched (same schema in and out, so stages compose)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            is_img = out["kind"] == "image"
+            out.loc[is_img, "payload"] = [
+                _resize_stub(p, width, height, require_real)
+                for p in out.loc[is_img, "payload"]
+            ]
+            out.loc[is_img, "width"] = width
+            out.loc[is_img, "height"] = height
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_bytes: int = 256, max_frames: int = 8) -> DataFrame:

@@ -24,7 +24,12 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from ..operators.multimodal import attach_media, decode_features, sample_frames
+from ..operators.multimodal import (
+    attach_media,
+    decode_features,
+    resize_media,
+    sample_frames,
+)
 from ..operators.similarity import brute_force_topk, embedding_near_dup_pairs, lsh_topk
 from ..plans.pipeline import extract_pages
 from ..sources.pages import pages_from_documents
@@ -995,6 +1000,15 @@ def q_media_frames(spark, sf):
     return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
+def q_media_resize(spark, sf):
+    d = _t(spark, sf, "documents")
+    resized = resize_media(attach_media(d), width=64, height=64)
+    return resized.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.length("payload")), 1).alias("avg_payload_bytes"),
+    )
+
+
 QUERIES = {
     "flagship_extract": flagship,
     "q1_pricing_summary": q_pricing_summary,
@@ -1037,6 +1051,7 @@ QUERIES = {
     "sim_ann_lsh": q_ann_lsh,
     "mm_media_features": q_media_features,
     "mm_media_frames": q_media_frames,
+    "mm_media_resize": q_media_resize,
 }
 
 ORACLES = {
