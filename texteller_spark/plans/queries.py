@@ -688,6 +688,24 @@ GROUP BY lang
 """
 
 
+def q_train_split(spark, sf):
+    """Train-corpus prep (SURVEY §2 train-pipeline row): admission filter →
+    seeded randomSplit 90/10 (the HF datasets train/val split analog,
+    reference train.py:70-92 with seed 42). Deterministic for a fixed seed
+    and input layout; reported as split sizes (rows-only check)."""
+    d = _t(spark, sf, "documents")
+    kept = d.filter(
+        (textops.token_count(F.col("text")) >= 5) & (F.col("n_chars") > 30)
+    )
+    train, val = kept.randomSplit([0.9, 0.1], seed=42)
+    return (
+        train.select(F.lit("train").alias("split"))
+        .unionByName(val.select(F.lit("val").alias("split")))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_salted_agg(spark, sf):
     """Skew discipline: two-phase salted aggregation — partial agg on
     (key, salt), merge on key. Same result as a direct groupBy; the shape
@@ -1037,6 +1055,7 @@ QUERIES = {
     "text_fingerprint": q_fingerprint,
     "sim_cosine_topk": q_cosine_topk,
     "p4_train_filter": q_train_filter,
+    "p7_train_split": q_train_split,
     "skew_salted_agg": q_salted_agg,
     "j6_semi_anti": q_semi_anti,
     "j7_asof_join": q_asof_join,
