@@ -35,9 +35,15 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 #: pipeline); empty = all
 ONLY = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+#: store html gzip-compressed (WARC-faithful; default on) — the kernel
+#: decompresses worker-side, so compressed bytes cross the Arrow feed
+GZIP_HTML = os.environ.get("SPARK_GRAFT_BENCH_GZIP", "1") == "1"
 #: materialized synthetic corpus (generated once, untimed — production reads
 #: an existing table; generating inside the timed path would measure synth)
-CORPUS = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", f"/tmp/texteller_pages_{N_DOCS}")
+CORPUS = os.environ.get(
+    "SPARK_GRAFT_BENCH_CORPUS",
+    f"/tmp/texteller_pages_{N_DOCS}" + ("_gzip" if GZIP_HTML else ""),
+)
 
 
 def force(df) -> None:
@@ -59,7 +65,9 @@ def main() -> None:
         # fixed partition count: corpus file layout must not depend on the
         # generating session's parallelism (scan splits = files here, since
         # snappy-compressed row groups are far below maxPartitionBytes)
-        pages_df(spark, N_DOCS, partitions=64).write.mode("overwrite").parquet(CORPUS)
+        pages_df(spark, N_DOCS, partitions=64, gzip_html=GZIP_HTML).write.mode(
+            "overwrite"
+        ).parquet(CORPUS)
     corpus = spark.read.parquet(CORPUS)
 
     builders = {

@@ -119,3 +119,19 @@ def test_oversized_page():
     doc = decode_page(page["html"])
     spans = detect_document(doc)
     assert sum(1 for s in spans if s.kind == "isolated") == 1
+
+
+def test_decode_page_transparent_gzip():
+    """WARC-style gzipped payloads extract identically to raw bytes."""
+    import gzip
+
+    from texteller_spark.operators.detect import decode_page, detect_document
+
+    raw = "<html><body><p>hello $x^{2}$ world</p></body></html>".encode()
+    assert decode_page(gzip.compress(raw)) == decode_page(raw)
+    spans_gz = detect_document(decode_page(gzip.compress(raw)))
+    spans_raw = detect_document(decode_page(raw))
+    assert spans_gz == spans_raw
+    # corrupt data that happens to start with the gzip magic → raw fallback
+    fake = b"\x1f\x8bnot really gzip"
+    assert isinstance(decode_page(fake), str)

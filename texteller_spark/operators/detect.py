@@ -31,6 +31,7 @@ Python at the Spark level.
 
 from __future__ import annotations
 
+import gzip
 import re
 from typing import Iterator, NamedTuple
 
@@ -93,13 +94,22 @@ _TEXY_RE = re.compile(r"[\\^_={}]")
 
 
 def decode_page(html: bytes | bytearray | memoryview | str | None) -> str:
-    """Robust byte→str decode: UTF-8, falling back to latin-1 (which is
-    total). Analog of the reference's multi-format image decode."""
+    """Robust byte→str decode: transparent gzip (magic-byte sniff — WARC
+    payloads are naturally gzipped, and shipping compressed bytes through
+    the JVM→Python Arrow feed divides the measured per-JVM feed bottleneck
+    by the compression ratio; see PLANS.md §2), then UTF-8 falling back to
+    latin-1 (which is total). Analog of the reference's multi-format image
+    decode."""
     if html is None:
         return ""
     if isinstance(html, str):
         return html
     b = bytes(html)
+    if b[:2] == b"\x1f\x8b":
+        try:
+            b = gzip.decompress(b)
+        except OSError:
+            pass  # magic-byte collision with corrupt data: treat as raw
     try:
         return b.decode("utf-8")
     except UnicodeDecodeError:

@@ -328,6 +328,15 @@ _PAGE_SCHEMA = T.StructType(
 )
 
 
+@pandas_udf(T.BinaryType())
+def _gzip_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """gzip level-1 per payload (WARC-faithful storage form)."""
+    import gzip as _gzip
+
+    for s in it:
+        yield s.map(lambda b: _gzip.compress(bytes(b), 1))
+
+
 @pandas_udf(_PAGE_SCHEMA)
 def _page_udf(idx: pd.Series) -> pd.DataFrame:
     rows = []
@@ -393,12 +402,29 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
     ).select("p.*")
 
 
-def pages_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+def pages_df(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    gzip_html: bool = False,
+) -> DataFrame:
     """Distributed deterministic corpus: ``spark.range(n)`` → page rows.
 
     Generation happens on executors (Arrow-batched), so the corpus scales
     linearly with cores and never materializes on the driver.
+
+    ``gzip_html=True`` stores the html payload gzip-compressed — the
+    WARC-faithful form (Common-Crawl payloads arrive gzipped). The
+    extraction kernel sniffs the gzip magic and decompresses inside the
+    Python worker (``detect.decode_page``), so compressed bytes — not
+    inflated html — cross the JVM→Python Arrow feed. Measured effect at 32
+    cores: ~2.5× extraction throughput and the run-to-run variance
+    collapses, because the per-JVM feed bottleneck (PLANS.md §2) scales
+    with bytes copied.
     """
     parts = partitions or spark.sparkContext.defaultParallelism
     rng = spark.range(0, n, 1, parts)
-    return rng.select(_page_udf(F.col("id")).alias("p")).select("p.*")
+    pages = rng.select(_page_udf(F.col("id")).alias("p")).select("p.*")
+    if gzip_html:
+        pages = pages.withColumn("html", _gzip_udf(F.col("html")))
+    return pages

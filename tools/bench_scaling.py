@@ -75,8 +75,10 @@ def main() -> None:
     lines = [
         "# BENCH — measured in-sandbox performance\n",
         f"Input: deterministic synthetic corpus ({N_DOCS} pages, seed 42, page "
-        "classes incl. 1000-span skew and >1 MiB oversized pages), materialized "
-        f"to parquet once (untimed) + driver tables at `{SF_DIR}`.\n",
+        "classes incl. 1000-span skew and >1 MiB oversized pages), html stored "
+        "gzip-compressed (WARC-faithful; the kernel decompresses worker-side so "
+        "compressed bytes cross the Arrow feed), materialized to parquet once "
+        f"(untimed) + driver tables at `{SF_DIR}`.\n",
         "Methodology: steady-state — a FULL warmup pass (JIT, codegen cache, "
         "Python workers, OS page cache) is excluded, mirroring the reference's "
         "warmup-skipped timing (det_model/inference.py:117-121); sink = noop "
