@@ -84,3 +84,16 @@ def test_plan_has_single_final_shuffle(spark, tiny_df):
     plan = extract_pages(tiny_df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 3  # 2 + possible AQE reuse node
     assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+
+
+def test_extract_pages_text_only(spark, tiny_df):
+    from texteller_spark.plans.pipeline import extract_pages
+
+    full = {r["url"]: r["extracted_text"] for r in extract_pages(tiny_df).collect()}
+    slim = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(tiny_df, include_spans=False).collect()
+    }
+    assert slim == full  # byte-identical text, spans simply omitted
+    cols = extract_pages(tiny_df, include_spans=False).columns
+    assert cols == ["url", "extracted_text"]

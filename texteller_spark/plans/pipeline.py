@@ -156,8 +156,22 @@ def _extract_batches(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
 extract_udf = pandas_udf(_extract_batches, returnType=_EXTRACT_RESULT)
 
 
-def extract_pages(pages: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Full pipeline: returns (url, spans, extracted_text).
+def _extract_text_batches(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for html_col in it:
+        yield pd.Series([extract_page_kernel(h)[1] for h in html_col])
+
+
+#: text-only variant: the span payload (raw+content, ≈2× the document) never
+#: crosses the worker→JVM Arrow feed — the output-side twin of gzip-stored
+#: html for pipelines that only consume ``extracted_text``
+extract_text_udf = pandas_udf(_extract_text_batches, returnType=T.StringType())
+
+
+def extract_pages(
+    pages: DataFrame, partitions: int | None = None, include_spans: bool = True
+) -> DataFrame:
+    """Full pipeline: returns (url, spans, extracted_text); with
+    ``include_spans=False``, (url, extracted_text) only.
 
     Doc-granular, SHUFFLE-FREE plan: the whole pipeline is one fused map
     over the scan — extraction needs per-page locality only, which the scan
@@ -185,6 +199,10 @@ def extract_pages(pages: DataFrame, partitions: int | None = None) -> DataFrame:
     SIGMOD'21] — see PAPERS.md.)
     """
     balanced = pages.repartition(partitions, F.col("url")) if partitions else pages
+    if not include_spans:
+        return balanced.select(
+            "url", extract_text_udf(F.col("html")).alias("extracted_text")
+        )
     return balanced.select(
         "url", extract_udf(F.col("html")).alias("res")
     ).select("url", "res.spans", "res.extracted_text")
