@@ -72,6 +72,9 @@ def main() -> None:
 
     builders = {
         "pipeline_extract": lambda: extract_pages(corpus),
+        # secondary: text-only consumers skip the span payload on the
+        # worker→JVM feed (same kernel, byte-identical extracted_text)
+        "pipeline_extract_text": lambda: extract_pages(corpus, include_spans=False),
         "q1_pricing_summary": lambda: Q.q_pricing_summary(spark, SF_DIR),
         "q6_revenue_scalar": lambda: Q.q_revenue_scalar(spark, SF_DIR),
         "j2_region_rollup": lambda: Q.q_region_rollup(spark, SF_DIR),
