@@ -531,6 +531,53 @@ FROM events GROUP BY 1
 """
 
 
+def q_array_stats(spark, sf):
+    """Higher-order array functions (F.aggregate/size/array_max) — the
+    JVM-side array surface used by the similarity ops, oracle-checked."""
+    e = _t(spark, sf, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2, 4).alias("l2"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_elem"),
+    )
+
+
+_SQL_ARRAY_STATS = """
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_elem
+FROM embeddings
+"""
+
+
+def q_date_ops(spark, sf):
+    """Temporal scalar surface (date_trunc/hour over warc_ts-style
+    timestamps — the partition-transform functions of the input table)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_DATE_OPS = """
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+       CAST(extract(hour FROM ts) AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_exact(spark, sf):
     """Exact dedup groups on content digest."""
     d = _t(spark, sf, "documents")
@@ -1047,6 +1094,8 @@ QUERIES = {
     "set_ops": q_set_ops,
     "set_distinct": q_distinct_pairs,
     "f_json_extract": q_json_extract,
+    "f_array_stats": q_array_stats,
+    "f_date_ops": q_date_ops,
     "dedup_exact": q_dedup_exact,
     "text_token_stats": q_token_stats,
     "text_bpe_tokens": q_bpe_tokens,
@@ -1092,6 +1141,8 @@ ORACLES = {
     "set_ops": _SQL_SET_OPS,
     "set_distinct": _SQL_DISTINCT,
     "f_json_extract": _SQL_JSON,
+    "f_array_stats": _SQL_ARRAY_STATS,
+    "f_date_ops": _SQL_DATE_OPS,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "text_token_stats": _SQL_TOKEN_STATS,
     "text_bpe_tokens": _SQL_BPE,
