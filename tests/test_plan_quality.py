@@ -86,6 +86,13 @@ def test_topk_pushes_down(spark, Q):
     assert "ArrowEvalPython" not in p3  # cosine stays JVM-side
 
 
+def test_array_stats_stay_jvm_side(spark, Q):
+    # higher-order array expressions (aggregate/transform/array_max) must
+    # compile to JVM codegen, never fall back to a Python eval node
+    p = plan_of(Q.q_array_stats(spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
 def test_extraction_pipeline_is_shuffle_free(spark):
     from texteller_spark.plans.pipeline import extract_pages
     from texteller_spark.sources.pages import pages_from_documents
