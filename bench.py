@@ -53,6 +53,7 @@ def force(df) -> None:
 def main() -> None:
     from pyspark.sql import functions as F
 
+    from texteller_spark.operators.dedup import release_caches
     from texteller_spark.plans import queries as Q
     from texteller_spark.plans.pipeline import extract_pages
     from texteller_spark.session import build_session
@@ -109,6 +110,7 @@ def main() -> None:
     for name, b in builders.items():
         if name != "pipeline_extract":
             force(b())
+            release_caches()  # signature-stage persists don't accumulate across reps
 
     # --- timed pass (steady state); the flagship metric is median-of-REPS
     # (host exhibits kernel-time noise storms; a wider median resists them)
@@ -120,6 +122,7 @@ def main() -> None:
             t0 = time.perf_counter()
             force(b())
             runs.append(time.perf_counter() - t0)
+            release_caches()
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
 

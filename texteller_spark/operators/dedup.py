@@ -41,7 +41,30 @@ __all__ = [
     "with_simhash",
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
+    "release_caches",
 ]
+
+#: live persisted signature handles (see _materialize) — callers own the
+#: lifetime: call release_caches() once the pair DataFrames are consumed
+_CACHED: list = []
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist + eagerly count a signature stage so a self-join reads the
+    cache instead of re-executing the Arrow kernel per side. The handle is
+    tracked in ``_CACHED``; repeated calls (bench reps, test loops) must
+    ``release_caches()`` between uses or cache entries accumulate for the
+    session lifetime."""
+    out = df.persist()
+    out.count()  # eager: both join sides must read the cache, not race to fill it
+    _CACHED.append(out)
+    return out
+
+
+def release_caches() -> None:
+    """Unpersist every signature stage materialized by the pair builders."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
 
 _MERSENNE = (1 << 61) - 1
 _N_HASHES = 64
@@ -88,10 +111,15 @@ def _widen(df: DataFrame) -> DataFrame:
     """Ensure at least one partition per core before a CPU-bound Arrow
     kernel. A small/coalesced input (few parquet files) would otherwise pin
     the signature UDF to that partition count regardless of cluster size —
-    the N→4N scaling killer. At real scale input splits ≫ cores and this is
-    a no-op (no shuffle)."""
+    the N→4N scaling killer. Uses the source file count (a cheap listing on
+    the analyzed plan — no RDD conversion) as the parallelism proxy: at real
+    scale input files ≫ cores and this is a no-op (no shuffle)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan: splits already follow parallelism
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -151,8 +179,7 @@ def minhash_lsh_pairs(
     One Arrow signature pass (materialized — see ``_bucket_join_pairs``),
     then a bucket join on (band_id, band_hash)."""
     rows_per_band = _N_HASHES // bands
-    sigs = with_minhash(df, text_col, shingle_k).select(id_col, "minhash").persist()
-    sigs.count()  # eager: both join sides must read the cache, not race to fill it
+    sigs = _materialize(with_minhash(df, text_col, shingle_k).select(id_col, "minhash"))
 
     banded = sigs.select(
         F.col(id_col).alias("id"),
@@ -219,10 +246,9 @@ def simhash_near_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 16-bit-chunk
     banding (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks identical).
     Same materialize-once bucket-join strategy as MinHash."""
-    sigs = (
-        with_simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash").persist()
+    sigs = _materialize(
+        with_simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
     )
-    sigs.count()  # eager materialization (see minhash_lsh_pairs)
     chunked = sigs.select(
         "id",
         "simhash",

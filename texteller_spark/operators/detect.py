@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import gzip
 import re
+import zlib
 from typing import Iterator, NamedTuple
 
 import pandas as pd
@@ -108,8 +109,11 @@ def decode_page(html: bytes | bytearray | memoryview | str | None) -> str:
     if b[:2] == b"\x1f\x8b":
         try:
             b = gzip.decompress(b)
-        except OSError:
-            pass  # magic-byte collision with corrupt data: treat as raw
+        except (OSError, EOFError, zlib.error):
+            # corrupt header (OSError), truncated stream (EOFError), or
+            # corrupt deflate data (zlib.error) — real WARC archives contain
+            # all three; degrade to treating the bytes as raw
+            pass
     try:
         return b.decode("utf-8")
     except UnicodeDecodeError:

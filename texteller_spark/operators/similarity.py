@@ -97,9 +97,12 @@ def embedding_near_dup_pairs(
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
+    # zero-norm guard: a zero vector would yield NaN cosine, and Spark
+    # orders NaN greater than any value, so NaN >= threshold would pair it
+    # with every row — drop zero-norm rows before the join instead
     sided = df.select(
         F.col(id_col), F.col(vec_col), norm.alias("_nrm")
-    )
+    ).filter(F.col("_nrm") > 0)
     a = sided.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na")
     )

@@ -830,7 +830,10 @@ def q_asof_join(spark, sf):
     and carry ``last(click_value, ignorenulls)`` over one ordered window —
     a single shuffle on ``user_id``, linear work per partition. Clicks sort
     before errors at equal ts (``is_probe`` tiebreak) to match ASOF
-    ``a.ts >= b.ts`` semantics. DuckDB oracle uses its native ASOF JOIN."""
+    ``a.ts >= b.ts`` semantics; ``event_id`` is the final tiebreak so
+    duplicate-``ts`` clicks resolve deterministically (highest event_id
+    wins). The oracle mirrors the identical union+window rewrite — DuckDB's
+    native ASOF JOIN leaves the equal-ts click choice unspecified."""
     e = _t(spark, sf, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id",
@@ -844,7 +847,7 @@ def q_asof_join(spark, sf):
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_probe")
+        .orderBy("ts", "is_probe", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -856,10 +859,22 @@ def q_asof_join(spark, sf):
 
 
 _SQL_ASOF = """
-SELECT a.event_id AS event_id, ROUND(b.value, 4) AS last_click_value
-FROM (SELECT * FROM events WHERE event_type = 'error') a
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
-  ON a.user_id = b.user_id AND a.ts >= b.ts
+WITH tagged AS (
+  SELECT user_id, ts, event_id, value AS click_value, 0 AS is_probe
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, NULL AS click_value, 1 AS is_probe
+  FROM events WHERE event_type = 'error'
+)
+SELECT event_id, ROUND(last_click_value, 4) AS last_click_value
+FROM (
+  SELECT event_id, is_probe,
+         last_value(click_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_probe, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+  FROM tagged
+)
+WHERE is_probe = 1
 """
 
 
@@ -910,6 +925,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.45
+  AND NOT isnan(list_cosine_similarity(a.embedding, b.embedding))
 """
 
 

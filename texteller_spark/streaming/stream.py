@@ -56,12 +56,14 @@ def streaming_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
     first-seen dedup by url.
 
     A Common-Crawl-style stream re-delivers the same url across crawls; this
-    keeps only the earliest ``warc_ts`` occurrence ever seen, holding one
-    tiny ``(n_seen,)`` state row per url in the state store (RocksDB-backed
-    and partitioned by key at cluster scale, so state size scales with
-    distinct urls per executor, not stream length). Output is append-mode:
-    a url is emitted exactly once, in the micro-batch where it first
-    appears; later re-crawls only bump the state counter.
+    emits, for each url, the min-``warc_ts`` row of the micro-batch in which
+    the url FIRST ARRIVES (arrival-order semantics: append mode cannot
+    retract, so an out-of-order earlier crawl delivered in a *later* batch
+    only bumps the state counter — it does not replace the emitted row).
+    One tiny ``(n_seen,)`` state row per url lives in the state store
+    (RocksDB-backed and partitioned by key at cluster scale, so state size
+    scales with distinct urls per executor, not stream length). A url is
+    emitted exactly once, in its arrival micro-batch.
     """
     import pandas as pd  # noqa: F401  (pandas batches cross the state op)
     from pyspark.sql.streaming.state import GroupStateTimeout

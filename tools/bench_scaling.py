@@ -31,7 +31,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LEVELS = (2, 8, 32)
 
 
-def run(cpus: int, only: str = "", reps: int = 3) -> dict:
+REPS = 3  # bench.py reps per sample (interpolated into the BENCH.md text)
+
+
+def run(cpus: int, only: str = "", reps: int = REPS) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -82,7 +85,7 @@ def main() -> None:
         "Methodology: steady-state — a FULL warmup pass (JIT, codegen cache, "
         "Python workers, OS page cache) is excluded, mirroring the reference's "
         "warmup-skipped timing (det_model/inference.py:117-121); sink = noop "
-        "(full computation, no disk noise); pipeline metric is median-of-5 "
+        f"(full computation, no disk noise); pipeline metric is median-of-{REPS} "
         "(this host shows kernel-time noise storms; a wider median resists "
         "them). Host: one 32-core VM.\n",
         "## Scaling (north rule: efficiency ≥ 0.8 from N to 4N)\n",
