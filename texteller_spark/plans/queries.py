@@ -737,20 +737,43 @@ GROUP BY lang
 
 def q_train_split(spark, sf):
     """Train-corpus prep (SURVEY §2 train-pipeline row): admission filter →
-    seeded randomSplit 90/10 (the HF datasets train/val split analog,
-    reference train.py:70-92 with seed 42). Deterministic for a fixed seed
-    and input layout; reported as split sizes (rows-only check)."""
+    seeded 90/10 split (the HF datasets train/val split analog, reference
+    train.py:70-92 with seed 42). The split key is a content-independent
+    salted hash of ``doc_id`` (md5, 32-bit prefix, mod 10) — unlike
+    ``randomSplit`` it does not depend on partition layout, so the
+    assignment is stable across resumes, AQE re-plans, and file re-splits,
+    and is expressible as a DuckDB oracle."""
     d = _t(spark, sf, "documents")
     kept = d.filter(
         (textops.token_count(F.col("text")) >= 5) & (F.col("n_chars") > 30)
     )
-    train, val = kept.randomSplit([0.9, 0.1], seed=42)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
     return (
-        train.select(F.lit("train").alias("split"))
-        .unionByName(val.select(F.lit("val").alias("split")))
+        kept.select(
+            F.when(bucket < 9, F.lit("train")).otherwise(F.lit("val")).alias("split")
+        )
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_SQL_TRAIN_SPLIT = """
+SELECT CASE WHEN CAST('0x' || substr(md5(doc_id || ':42'), 1, 8) AS BIGINT) % 10 < 9
+            THEN 'train' ELSE 'val' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(str_split_regex(trim(text), '\\s+')) END) >= 5
+  AND n_chars > 30
+GROUP BY 1
+"""
 
 
 def q_salted_agg(spark, sf):
@@ -957,31 +980,41 @@ FROM events
 """
 
 
+_FIXTURE_FORMULAS = [r"\[a+b\]", r"\mbox {x}", r"\emph{y}", r"\left( z \right)"]
+
+
 def q_fixture_scan(spark, sf):
-    """S4: JSONL fixture scan + normalization kernel over it (the
-    reference's formulas.jsonl loader re-expressed; fixture synthesized
-    in-sandbox)."""
+    """S4: JSONL fixture scan — the reference's formulas.jsonl loader
+    re-expressed. Hermetic: the JSONL lines are in-memory literals parsed by
+    Spark's JSON reader (``from_json`` with the explicit fixture schema —
+    same parse path as ``spark.read.json``, no driver-side file IO); the
+    file-backed variant (``sources.raw.read_formula_fixture``) is exercised
+    by pytest."""
     import json as _json
-    import os
-    import tempfile
 
-    from ..functions.katex import latex_to_katex
-    from ..sources.raw import read_formula_fixture
+    from ..sources.raw import FORMULA_FIXTURE_SCHEMA
 
-    fixture = os.path.join(tempfile.gettempdir(), "texteller_fixture.jsonl")
-    if not os.path.exists(fixture):
-        rows = [
-            {"img_name": f"{i}.png", "formula": f}
-            for i, f in enumerate(
-                [r"\[a+b\]", r"\mbox {x}", r"\emph{y}", r"\left( z \right)"]
-            )
-        ]
-        with open(fixture, "w") as fh:
-            fh.write("\n".join(_json.dumps(r) for r in rows))
-    df = read_formula_fixture(spark, fixture)
-    # normalize via the kernel (driver-side map is fine for 4 fixture rows;
-    # the UDF path is exercised by the pipeline queries)
-    return df.select("formula_id", "raw_latex").orderBy("formula_id")
+    lines = [
+        (_json.dumps({"img_name": f"{i}.png", "formula": f}),)
+        for i, f in enumerate(_FIXTURE_FORMULAS)
+    ]
+    return (
+        spark.createDataFrame(lines, "line string")
+        .select(F.from_json("line", FORMULA_FIXTURE_SCHEMA).alias("r"))
+        .select(
+            F.regexp_replace("r.img_name", r"\.png$", "").alias("formula_id"),
+            F.col("r.formula").alias("raw_latex"),
+        )
+        .orderBy("formula_id")
+    )
+
+
+_SQL_FIXTURE_SCAN = """
+SELECT CAST(i AS VARCHAR) AS formula_id, f AS raw_latex
+FROM (VALUES (0, '\\[a+b\\]'), (1, '\\mbox {x}'), (2, '\\emph{y}'),
+             (3, '\\left( z \\right)')) AS t(i, f)
+ORDER BY formula_id
+"""
 
 
 def q_span_table(spark, sf):
@@ -1167,6 +1200,7 @@ ORACLES = {
     "text_fingerprint": _SQL_FINGERPRINT,
     "sim_cosine_topk": _SQL_COSINE,
     "p4_train_filter": _SQL_TRAIN_FILTER,
+    "p7_train_split": _SQL_TRAIN_SPLIT,
     "skew_salted_agg": _SQL_SALTED_AGG,
     "j6_semi_anti": _SQL_SEMI_ANTI,
     "j7_asof_join": _SQL_ASOF,
@@ -1174,4 +1208,5 @@ ORACLES = {
     "dedup_embedding_cosine": _SQL_EMB_NEAR_DUP,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "w4_rank_frames": _SQL_RANK_FRAMES,
+    "s4_fixture_scan": _SQL_FIXTURE_SCAN,
 }
