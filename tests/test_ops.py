@@ -135,6 +135,44 @@ def test_brute_force_vs_lsh_recall(spark):
     assert recall >= 0.5
 
 
+def test_lsh_near_dup_recall_and_no_false_positives(spark):
+    """Planted high-cosine near-dups: the banded-LSH path must (a) emit only
+    pairs the exact all-pairs baseline emits (the in-bucket predicate is the
+    same exact cosine → zero false positives by construction) and (b) reach
+    high recall on genuine near-dups (cosine ≈ 1, where banding probability
+    is ~1 per band)."""
+    from texteller_spark.operators.dedup import release_caches
+    from texteller_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(60, 32)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    # 10 planted near-dups: tiny perturbation → cosine ≈ 0.999
+    rows += [
+        (100 + i, [float(x) for x in (vecs[i] + rng.normal(scale=0.01, size=32))])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(df, dim=32, threshold=0.9, bits=16, bands=4).collect()
+    }
+    release_caches()
+    assert lsh <= exact  # never a false positive
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= exact
+    recall = len(lsh & planted) / len(planted)
+    assert recall >= 0.8
+
+
 def test_textops_values(spark):
     from texteller_spark.operators import textops
 

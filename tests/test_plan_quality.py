@@ -106,6 +106,35 @@ def test_extraction_pipeline_is_shuffle_free(spark):
     assert "ArrowEvalPython" in p
 
 
+def test_lsh_near_dup_is_bucket_equijoin_not_cartesian(spark, Q):
+    """The LSH embedding near-dup path must plan a hash equi-join on
+    (band_id, band_val) — never a cartesian/broadcast-nested-loop theta
+    join. This is the property that separates the 10^12-row scale path from
+    the O(n^2) exact baseline."""
+    p = plan_of(Q.q_embedding_lsh(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # it IS a join — a hash equi-join on the band keys
+
+
+def test_lsh_plane_sign_margins_are_engine_safe(spark, Q):
+    """Bucket membership is engine-independent only if no |plane . v| is
+    within float-summation noise of zero. Pin a 1e-9 floor (observed ~3e-4
+    on driver data vs ~1e-15 cross-engine noise)."""
+    import duckdb
+    import numpy as np
+
+    from texteller_spark.operators.similarity import plane_matrix
+
+    emb = (
+        duckdb.sql(f"SELECT embedding FROM '{SF}/embeddings.parquet'")
+        .fetchnumpy()["embedding"]
+    )
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+    planes = plane_matrix(mat.shape[1], 16)
+    assert np.abs(mat @ planes.T).min() > 1e-9
+
+
 def test_span_queries_keep_scan_pruned(spark, Q):
     # metric-only queries over documents must not drag the full text column
     # through a shuffle: the scan projects, the agg is partial+final

@@ -30,7 +30,13 @@ from ..operators.multimodal import (
     resize_media,
     sample_frames,
 )
-from ..operators.similarity import brute_force_topk, embedding_near_dup_pairs, lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_near_dup_pairs,
+    lsh_topk,
+    plane_matrix,
+)
 from ..plans.pipeline import extract_pages
 from ..sources.pages import pages_from_documents
 
@@ -952,6 +958,96 @@ WHERE ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
 """
 
 
+_EMB_DIM = 64  # driver embeddings table dimension (TESTDATA.md)
+
+
+def _planes_values_sql(bits: int) -> str:
+    """VALUES clause with the exact seeded hyperplane coefficients (full
+    repr precision → bit-identical doubles in DuckDB). Sign margins on the
+    driver data are ~3e-4 vs ~1e-15 cross-engine dot-product noise, so
+    bucket membership is engine-independent (pinned by a pytest margin
+    check)."""
+    planes = plane_matrix(_EMB_DIM, bits)
+    rows = ", ".join(
+        "({}, [{}])".format(i, ",".join(repr(float(x)) for x in planes[i]))
+        for i in range(bits)
+    )
+    return f"(VALUES {rows}) AS p(plane_id, coef)"
+
+
+def q_embedding_lsh(spark, sf):
+    """Embedding near-dup pairs via banded hyperplane LSH — the scale path
+    (bucket equi-join; no all-pairs join in the plan). Same rounded-cosine
+    admission predicate as the exact baseline."""
+    e = _t(spark, sf, "embeddings")
+    return lsh_near_dup_pairs(e, dim=_EMB_DIM, threshold=0.45, bits=16, bands=4)
+
+
+def _emb_lsh_sql(bits: int = 16, band_width: int = 4, threshold: float = 0.45) -> str:
+    return f"""
+WITH dots AS (
+  SELECT e.vec_id, p.plane_id,
+         list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), p.coef) AS d
+  FROM embeddings e, {_planes_values_sql(bits)}
+), sig AS (
+  SELECT vec_id, plane_id // {band_width} AS band_id,
+         CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << (plane_id % {band_width})) ELSE 0 END) AS BIGINT) AS band_val
+  FROM dots GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(list_cosine_similarity(
+         list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+         list_transform(eb.embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE), 4) AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE ROUND(CAST(list_cosine_similarity(
+        list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+        list_transform(eb.embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE), 4) >= {threshold}
+  AND NOT isnan(list_cosine_similarity(ea.embedding, eb.embedding))
+"""
+
+
+def _ann_lsh_sql(bits: int = 6, probes: int = 4, k: int = 10) -> str:
+    planes = _planes_values_sql(bits)
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+), qdots AS (
+  SELECT p.plane_id, list_dot_product(p.coef, q.qv) AS d
+  FROM {planes}, q
+), base AS (
+  SELECT CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << plane_id) ELSE 0 END) AS BIGINT) AS b
+  FROM qdots
+), probes AS (
+  SELECT b FROM base
+  UNION ALL
+  SELECT xor(base.b, 1::BIGINT << f.plane_id)
+  FROM base, (SELECT plane_id FROM qdots ORDER BY abs(d) ASC, plane_id ASC LIMIT {probes}) f
+), bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(SUM(CASE WHEN list_dot_product(
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)), p.coef) > 0
+              THEN (1::BIGINT << p.plane_id) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, {planes}
+  GROUP BY e.vec_id, e.embedding
+)
+SELECT vec_id,
+       ROUND(CAST(list_cosine_similarity(
+         list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv) AS DOUBLE), 4) AS cosine
+FROM bucketed, q
+WHERE bucket IN (SELECT b FROM probes)
+ORDER BY list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv) DESC,
+         vec_id ASC
+LIMIT {k}
+"""
+
+
 def q_rank_frames(spark, sf):
     """W-family frame specs: rank() per user by value, plus a 3-row moving
     average over event time (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) —
@@ -1159,6 +1255,7 @@ QUERIES = {
     "j7_asof_join": q_asof_join,
     "a3_rollup": q_rollup,
     "dedup_embedding_cosine": q_embedding_near_dup,
+    "dedup_embedding_lsh": q_embedding_lsh,
     "w4_rank_frames": q_rank_frames,
     "s4_fixture_scan": q_fixture_scan,
     "s5_span_table": q_span_table,
@@ -1206,6 +1303,8 @@ ORACLES = {
     "j7_asof_join": _SQL_ASOF,
     "a3_rollup": _SQL_ROLLUP,
     "dedup_embedding_cosine": _SQL_EMB_NEAR_DUP,
+    "dedup_embedding_lsh": _emb_lsh_sql(),
+    "sim_ann_lsh": _ann_lsh_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "w4_rank_frames": _SQL_RANK_FRAMES,
     "s4_fixture_scan": _SQL_FIXTURE_SCAN,
