@@ -17,14 +17,17 @@ Design for 10^12 rows:
   capping (drop shingles above a document-frequency ceiling — the classic
   stop-shingle guard that keeps the join from exploding on common n-grams).
 
-All hash functions are seeded & deterministic (crc32 token hashing +
-fixed-coefficient universal hashing), so results are reproducible across
-runs and partitionings.
+All hash functions are seeded & deterministic (md5-prefix token hashing +
+fixed-coefficient universal hashing with ranges chosen so every product
+fits in int64 — no wraparound), so results are reproducible across runs,
+partitionings, AND engines: the MinHash/SimHash signatures are recomputable
+in ANSI SQL (DuckDB oracle: ``CAST('0x' || substr(md5(g),1,8) AS BIGINT)``),
+which puts the whole LSH family under the driver's value-exact check.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -70,9 +73,18 @@ _MERSENNE = (1 << 61) - 1
 _N_HASHES = 64
 _SEED = 42
 
+# coefficients < 2^31 and 32-bit shingle hashes keep a*h+b < 2^63: the
+# universal-hash arithmetic is exact in int64 (numpy) AND in SQL BIGINT
+# (DuckDB oracle) — no silent wraparound on either side
 _rng = np.random.RandomState(_SEED)
-_A = _rng.randint(1, _MERSENNE, size=_N_HASHES, dtype=np.int64)
-_B = _rng.randint(0, _MERSENNE, size=_N_HASHES, dtype=np.int64)
+_A = _rng.randint(1, 1 << 31, size=_N_HASHES, dtype=np.int64)
+_B = _rng.randint(0, 1 << 31, size=_N_HASHES, dtype=np.int64)
+
+
+def _hash32(s: str) -> int:
+    """32-bit deterministic string hash = first 8 hex chars of md5 —
+    portable across engines (SQL: CAST('0x'||substr(md5(s),1,8) AS BIGINT))."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -96,7 +108,7 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     else:
         grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
     return np.unique(
-        np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.int64)
+        np.fromiter((_hash32(g) for g in grams), dtype=np.int64)
     )
 
 
@@ -177,7 +189,11 @@ def minhash_lsh_pairs(
     Jaccard (signature agreement) ≥ threshold. Returns (id_a, id_b, est_jaccard).
 
     One Arrow signature pass (materialized — see ``_bucket_join_pairs``),
-    then a bucket join on (band_id, band_hash)."""
+    then a bucket join keyed on (band_id, band slice). The join key is the
+    raw signature slice itself (arrays are hashable join keys in Spark) —
+    not a digest of it — so band membership is exactly slice equality and
+    the emitted pair set matches the SQL oracle bit-for-bit (a digest
+    collision could otherwise admit a candidate the oracle never sees)."""
     rows_per_band = _N_HASHES // bands
     sigs = _materialize(with_minhash(df, text_col, shingle_k).select(id_col, "minhash"))
 
@@ -187,11 +203,7 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(
-                        "minhash", b * rows_per_band + 1, rows_per_band
-                    ).cast("string")
-                ),
+                lambda b: F.slice("minhash", b * rows_per_band + 1, rows_per_band),
             )
         ).alias("band_id", "band_hash"),
     ).select("id", "minhash", "band_id", "band_hash")
@@ -208,14 +220,18 @@ def minhash_lsh_pairs(
     )
 
 
+def _tok_hash64(t: str) -> int:
+    """64-bit token hash from two md5 32-bit prefixes (lo = hex[0:8],
+    hi = hex[8:16]) — bit-for-bit recomputable in SQL."""
+    h = hashlib.md5(t.encode()).hexdigest()
+    return int(h[:8], 16) | (int(h[8:16], 16) << 32)
+
+
 def _simhash64(text: str) -> int:
     toks = text.split()
     if not toks:
         return 0
-    hashes = np.fromiter(
-        (zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32) for t in toks),
-        dtype=np.uint64,
-    )
+    hashes = np.fromiter((_tok_hash64(t) for t in toks), dtype=np.uint64)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int32
     )

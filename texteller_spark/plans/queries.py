@@ -1144,8 +1144,119 @@ def q_minhash_lsh(spark, sf):
     )
 
 
+_SQL_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS id, text || ' appended mutation token' AS text
+  FROM documents
+)"""
+
+
+def _minhash_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
+    """Recompute the full MinHash+LSH pipeline in SQL: 32-bit md5-prefix
+    shingle hashes, the exact seeded universal-hash coefficients (all
+    arithmetic < 2^63 → exact in BIGINT), per-band slice equality for
+    candidates, signature-agreement estimate for admission. Value-exact vs
+    the Spark Arrow kernel by construction."""
+    from ..operators.dedup import _A, _B, _MERSENNE, _N_HASHES
+
+    rpb = _N_HASHES // bands
+    coeff = ", ".join(f"({i}, {int(_A[i])}, {int(_B[i])})" for i in range(_N_HASHES))
+    return f"""
+WITH {_SQL_CORPUS_CTE},
+toks AS (
+  SELECT id, str_split_regex(trim(text), '\\s+') AS w FROM corpus
+  WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT id,
+         CASE WHEN len(w) < {k} THEN array_to_string(w, ' ')
+              ELSE array_to_string(list_slice(w, i + 1, i + {k}), ' ') END AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, greatest(len(w) - {k}, 0))) AS i)
+),
+ghash AS (
+  SELECT DISTINCT id, CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS h FROM grams
+),
+coeff AS (SELECT * FROM (VALUES {coeff}) AS c(i, a, b)),
+sig AS (
+  SELECT id, c.i, MIN((c.a * g.h + c.b) % {_MERSENNE}) AS m
+  FROM ghash g, coeff c GROUP BY id, c.i
+),
+bands AS (
+  SELECT id, i // {rpb} AS band_id,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY id, i // {rpb}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id
+),
+agree AS (
+  SELECT c.id_a, c.id_b, SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS n_eq
+  FROM cand c
+  JOIN sig sa ON sa.id = c.id_a
+  JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, ROUND(n_eq / {_N_HASHES}.0, 4) AS est_jaccard
+FROM agree WHERE n_eq / {_N_HASHES}.0 >= {threshold}
+"""
+
+
 def q_simhash(spark, sf):
     return simhash_near_pairs(_near_dup_corpus(spark, sf), max_hamming=3)
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Recompute SimHash in SQL: 64-bit token hashes from two md5 32-bit
+    prefixes, per-bit majority vote over token occurrences, 16-bit-chunk
+    pigeonhole banding for candidates, sign-diff count for Hamming.
+    (Assumes non-empty texts — holds for the driver corpus; empty docs hash
+    to 0 in the kernel.)"""
+    return f"""
+WITH {_SQL_CORPUS_CTE},
+toks AS (
+  SELECT id, unnest(str_split_regex(trim(text), '\\s+')) AS tok
+  FROM corpus WHERE length(trim(text)) > 0
+),
+th AS (
+  SELECT id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS lo,
+             CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS hi
+  FROM toks
+),
+bitcnt AS (
+  SELECT id, jj.j,
+         SUM(CASE WHEN jj.j < 32 THEN (lo >> jj.j) & 1
+                  ELSE (hi >> (jj.j - 32)) & 1 END) AS ones,
+         COUNT(*) AS n
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS j) jj
+  GROUP BY id, jj.j
+),
+signs AS (
+  SELECT id, j, CASE WHEN 2 * ones > n THEN 1 ELSE 0 END AS s FROM bitcnt
+),
+chunks AS (
+  SELECT id, j // 16 AS band_id,
+         CAST(SUM(s * (1::BIGINT << (j % 16))) AS BIGINT) AS band_val
+  FROM signs GROUP BY id, j // 16
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM chunks a JOIN chunks b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.id < b.id
+),
+ham AS (
+  SELECT c.id_a, c.id_b, SUM(CASE WHEN sa.s <> sb.s THEN 1 ELSE 0 END) AS hamming
+  FROM cand c
+  JOIN signs sa ON sa.id = c.id_a
+  JOIN signs sb ON sb.id = c.id_b AND sb.j = sa.j
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM ham WHERE hamming <= {max_hamming}
+"""
 
 
 def q_ngram_jaccard(spark, sf):
@@ -1305,6 +1416,8 @@ ORACLES = {
     "dedup_embedding_cosine": _SQL_EMB_NEAR_DUP,
     "dedup_embedding_lsh": _emb_lsh_sql(),
     "sim_ann_lsh": _ann_lsh_sql(),
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "w4_rank_frames": _SQL_RANK_FRAMES,
     "s4_fixture_scan": _SQL_FIXTURE_SCAN,
