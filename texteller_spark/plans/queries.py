@@ -1315,10 +1315,43 @@ def q_media_features(spark, sf):
     )
 
 
+#: the media stub features are deterministic (8-bin byte histogram, L1
+#: normalized to float32, Shannon entropy) — recomputable in SQL because the
+#: driver documents are ASCII (code points == utf-8 bytes; the oracle-pair
+#: test would fail loudly if that ever stopped holding)
+_SQL_MEDIA_FEATURES = """
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '.', 0, 's')) AS ch FROM documents
+), hist AS (
+  SELECT doc_id, ord(ch) // 32 AS b, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM chars GROUP BY 1, 2
+), ent AS (
+  SELECT h.doc_id, t.total,
+         -SUM(CAST(h.c / t.total AS REAL) * log2(CAST(h.c / t.total AS REAL))) AS e
+  FROM hist h
+  JOIN (SELECT doc_id, CAST(length(text) AS DOUBLE) AS total FROM documents) t
+    USING (doc_id)
+  GROUP BY h.doc_id, t.total
+)
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(e), 3) AS avg_entropy,
+       ROUND(AVG(total), 1) AS avg_bytes
+FROM ent GROUP BY 1
+"""
+
+
 def q_media_frames(spark, sf):
     d = _t(spark, sf, "documents")
     frames = sample_frames(attach_media(d))
     return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+_SQL_MEDIA_FRAMES = """
+SELECT doc_id AS media_id,
+       CAST(least(8, greatest(1, length(text) // 256)) AS BIGINT) AS n_frames
+FROM documents WHERE doc_id % 3 = 2
+"""
 
 
 def q_media_resize(spark, sf):
@@ -1328,6 +1361,17 @@ def q_media_resize(spark, sf):
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(F.length("payload")), 1).alias("avg_payload_bytes"),
     )
+
+
+#: resize contract: image payloads come out at exactly width*height bytes
+#: (subsample or zero-pad); non-image payloads pass through untouched
+_SQL_MEDIA_RESIZE = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CASE WHEN doc_id % 3 = 0 THEN 4096 ELSE length(text) END), 1)
+         AS avg_payload_bytes
+FROM documents GROUP BY 1
+"""
 
 
 QUERIES = {
@@ -1421,4 +1465,7 @@ ORACLES = {
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "w4_rank_frames": _SQL_RANK_FRAMES,
     "s4_fixture_scan": _SQL_FIXTURE_SCAN,
+    "mm_media_features": _SQL_MEDIA_FEATURES,
+    "mm_media_frames": _SQL_MEDIA_FRAMES,
+    "mm_media_resize": _SQL_MEDIA_RESIZE,
 }
