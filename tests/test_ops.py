@@ -84,6 +84,22 @@ def test_simhash_hamming():
     assert _simhash64("") == 0
 
 
+def test_k3_decode_length_cap():
+    """K3 invariant: recognized MATH content is bounded (the reference stops
+    generation at MAX_TOKEN_SIZE=1024 positions; our byte-domain projection
+    caps at MAX_REC_CHARS). Text spans are located source content, not
+    decode output — they stay uncapped."""
+    from texteller_spark.operators.recognize import MAX_REC_CHARS, recognize_span
+
+    huge = "$" + "x+" * 50000 + "y$"
+    out = recognize_span("embedding", huge)
+    assert len(out) <= MAX_REC_CHARS + 6  # + ' $…$ ' wrapper slack
+    assert out.startswith(" $x+")
+
+    long_text = "word " * 20000
+    assert len(recognize_span("text", long_text)) > MAX_REC_CHARS
+
+
 # --- Spark-level operator tests ---------------------------------------------
 
 def test_exact_and_lsh_dedup(spark):

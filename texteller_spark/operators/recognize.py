@@ -30,9 +30,32 @@ from pyspark.sql.types import StringType
 from ..functions.katex import latex_to_katex, wrap_span
 from ..functions.mathml import mathml_to_latex
 
-__all__ = ["recognize_text", "recognize_math", "recognize_span", "recognize_udf"]
+__all__ = [
+    "MAX_REC_TOKENS",
+    "MAX_REC_CHARS",
+    "recognize_text",
+    "recognize_math",
+    "recognize_span",
+    "recognize_udf",
+]
 
 _WS_RE = re.compile(r"\s+")
+
+#: decode-length cap (K3): the reference stops generation at 1024 token
+#: positions (``/root/reference/src/models/globals.py:15`` MAX_TOKEN_SIZE;
+#: ``mix_inference.py:206`` passes 800 for mix mode). Our recognizer emits
+#: LaTeX strings, so the cap is projected to the byte domain at 4 chars per
+#: token — without it an adversarial span inflates the output row
+#: unboundedly. Applied to MATH recognition only (the decode analog); text
+#: spans are already-located source content, not generated output.
+MAX_REC_TOKENS = 1024
+MAX_REC_CHARS = MAX_REC_TOKENS * 4
+
+
+def _cap_decode(s: str, max_chars: int = MAX_REC_CHARS) -> str:
+    """Truncate recognized math output at the decode cap (the reference's
+    generate() likewise stops mid-formula at max_new_tokens)."""
+    return s if len(s) <= max_chars else s[:max_chars]
 
 
 def recognize_text(raw: str) -> str:
@@ -60,10 +83,10 @@ def recognize_math(raw: str) -> str:
 
 
 def recognize_span(kind: str, raw: str) -> str:
-    """Full per-span recognition + normalization + wrapping."""
+    """Full per-span recognition + normalization + length-cap + wrapping."""
     if kind == "text":
         return recognize_text(raw)
-    return wrap_span(kind, latex_to_katex(recognize_math(raw)))
+    return wrap_span(kind, _cap_decode(latex_to_katex(recognize_math(raw))))
 
 
 def _recognize_batches(
