@@ -42,7 +42,14 @@ from pyspark.sql.pandas.functions import pandas_udf
 
 from ..schema import DETECT_CONF_THRESHOLD, SPANS_ARRAY
 
-__all__ = ["Span", "decode_page", "detect_document", "detect_spans_udf"]
+__all__ = [
+    "Span",
+    "decode_page",
+    "detect_document",
+    "detect_spans_udf",
+    "safe_split_points",
+    "chunk_document",
+]
 
 
 class Span(NamedTuple):
@@ -225,6 +232,79 @@ def detect_document(doc: str) -> list[Span]:
 
     flush_run()
     return [s._replace(span_id=idx) for idx, s in enumerate(spans)]
+
+
+def safe_split_points(doc: str, target_chars: int) -> list[int]:
+    """Positions where the document may be cut without changing detection
+    semantics (W5 — the byte-domain analog of the reference's sliced
+    detection with overlap+rollback, ``/root/reference/src/models/
+    thrid_party/paddleocr/infer/predict_det.py:198-297``).
+
+    A safe point is the start of a BLOCK-level tag at suppress depth 0,
+    outside ``<math>`` regions / comments / CDATA. At such a point the
+    parser state is empty by construction: the pending text run was just
+    flushed (block tags always flush), no math region is open, and no
+    suppressed subtree is open — so detection restarted there produces
+    exactly the spans the single-pass scan would. Because text runs flush
+    at block tags and TeX math lives inside a single text node, NO span can
+    straddle a safe point — which is why the pixel-domain overlap buffer
+    degenerates to zero here (the reference needs overlap because image
+    slices cut arbitrarily; semantic split points cut exactly).
+
+    Points are spaced ≥ ``target_chars``; a document with no block tag in a
+    stretch (e.g. plain text) simply yields no point there and the stretch
+    stays one chunk — the unchunked fallback.
+    """
+    points: list[int] = []
+    next_target = target_chars
+    n = len(doc)
+    suppress = 0
+    i = 0
+    while i < n:
+        m = _TAG_RE.search(doc, i)
+        if m is None:
+            break
+        tag = m.group(0)
+        i = m.end()
+        if tag.startswith("<!") or tag.startswith("<?"):
+            continue
+        nm = _TAG_NAME_RE.match(tag)
+        if nm is None:
+            continue
+        closing, name = nm.group(1) == "/", nm.group(2).lower()
+        if name == "math" and not closing and suppress == 0:
+            close = _MATH_CLOSE_RE.search(doc, m.end())
+            i = close.end() if close else n
+            continue
+        if name in _SUPPRESS_TAGS and name not in _VOID_TAGS:
+            if closing:
+                suppress = max(0, suppress - 1)
+            elif not tag.rstrip().endswith("/>"):
+                suppress += 1
+            continue
+        if name in _BLOCK_TAGS and suppress == 0 and m.start() >= next_target:
+            points.append(m.start())
+            next_target = m.start() + target_chars
+    return points
+
+
+def chunk_document(doc: str, target_chars: int) -> list[tuple[int, str]]:
+    """Split a decoded document at safe points into ``(char_offset, piece)``
+    chunks of ≈ ``target_chars``. Always yields at least one chunk (the
+    whole document, possibly empty). ``detect_document`` over the pieces,
+    with offsets re-projected, equals ``detect_document`` over the whole —
+    pinned by an equivalence property test over every page class."""
+    if len(doc) <= target_chars:
+        return [(0, doc)]
+    # int32 span/block ids are rebased by char offset downstream
+    if len(doc) >= 1 << 31:
+        raise ValueError("document exceeds int32 char-offset domain")
+    bounds = [0] + safe_split_points(doc, target_chars) + [len(doc)]
+    return [
+        (bounds[k], doc[bounds[k] : bounds[k + 1]])
+        for k in range(len(bounds) - 1)
+        if bounds[k + 1] > bounds[k]
+    ] or [(0, doc)]
 
 
 def _detect_batches(it: Iterator[pd.Series]) -> Iterator[pd.Series]:

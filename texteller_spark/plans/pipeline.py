@@ -37,7 +37,12 @@ from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
 from ..operators.assemble import assemble_document, assemble_udf
-from ..operators.detect import decode_page, detect_document, with_spans
+from ..operators.detect import (
+    chunk_document,
+    decode_page,
+    detect_document,
+    with_spans,
+)
 from ..operators.recognize import recognize_span, recognize_spans_udf, recognize_udf
 from ..schema import CONTENT_SPAN_SCHEMA, DETECT_CONF_THRESHOLD
 
@@ -46,6 +51,7 @@ __all__ = [
     "recognize_stage",
     "assemble_stage",
     "extract_pages",
+    "extract_pages_chunked",
     "span_table",
 ]
 
@@ -165,6 +171,112 @@ def _extract_text_batches(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
 #: crosses the worker→JVM Arrow feed — the output-side twin of gzip-stored
 #: html for pipelines that only consume ``extracted_text``
 extract_text_udf = pandas_udf(_extract_text_batches, returnType=T.StringType())
+
+
+_CHUNK_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("chunk_id", T.IntegerType(), False),
+            T.StructField("off", T.LongType(), False),
+            T.StructField("piece", T.StringType(), False),
+        ]
+    ),
+    containsNull=False,
+)
+
+
+def make_chunk_udf(max_chunk_chars: int):
+    @pandas_udf(_CHUNK_SCHEMA)
+    def chunk_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for html_col in it:
+            yield html_col.map(
+                lambda b: [
+                    {"chunk_id": k, "off": off, "piece": piece}
+                    for k, (off, piece) in enumerate(
+                        chunk_document(decode_page(b), max_chunk_chars)
+                    )
+                ]
+            )
+
+    return chunk_udf
+
+
+def recognize_piece_kernel(piece: str, off: int) -> list[dict]:
+    """Detect + recognize one chunk; char offsets and span/block ids are
+    rebased by the chunk's char offset (monotonic across chunks, so
+    block-equality grouping and span ordering match the unchunked scan —
+    int32-safe for documents < 2^31 chars, enforced by chunk_document)."""
+    out = []
+    for s in detect_document(piece):
+        if s.confidence < DETECT_CONF_THRESHOLD:
+            continue
+        d = s._asdict()
+        d["span_id"] = s.span_id + off
+        d["block_id"] = s.block_id + off
+        d["char_start"] = s.char_start + off
+        d["char_end"] = s.char_end + off
+        d["content"] = recognize_span(s.kind, s.raw)
+        out.append(d)
+    return out
+
+
+def _recognize_piece_batches(
+    it: Iterator[tuple[pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    for off_col, piece_col in it:
+        yield pd.Series(
+            [recognize_piece_kernel(p, int(o)) for o, p in zip(off_col, piece_col)],
+            dtype="object",
+        )
+
+
+recognize_piece_udf = pandas_udf(
+    _recognize_piece_batches, returnType=T.ArrayType(CONTENT_SPAN_SCHEMA)
+)
+
+
+def extract_pages_chunked(
+    pages: DataFrame,
+    max_chunk_chars: int = 1 << 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """W5: oversized-document extraction with bounded per-task work.
+
+    The flagship plan (:func:`extract_pages`) maps whole documents — one
+    500 MB pathological page is one unbounded task. This variant splits
+    each document at SAFE points (block-tag starts outside suppressed /
+    math regions — see :func:`texteller_spark.operators.detect.
+    safe_split_points`; the byte-domain analog of the reference's sliced
+    detection, predict_det.py:198-297) into ≈``max_chunk_chars`` pieces,
+    redistributes the pieces across tasks, detects+recognizes each piece
+    independently with offsets re-projected, and reassembles per url.
+    Because spans cannot straddle a safe point, the pixel-domain
+    overlap+boundary-dedup machinery degenerates: piece-wise detection is
+    EXACT (equivalence property-tested against the unchunked kernel,
+    including a ≥64 MiB page).
+
+    Cost: one shuffle to spread chunks + the final groupBy(url) — the right
+    trade only when documents are huge; the flagship stays shuffle-free for
+    the common case. Documents with no safe point in a stretch (plain text)
+    degrade to one chunk for that stretch.
+    """
+    p = partitions or int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    chunk_udf = make_chunk_udf(max_chunk_chars)
+    chunks = (
+        pages.select("url", F.explode(chunk_udf(F.col("html"))).alias("c"))
+        .select("url", "c.*")
+        .repartition(p, F.col("url"), F.col("chunk_id"))
+    )
+    spans = (
+        chunks.select(
+            "url",
+            F.explode_outer(
+                recognize_piece_udf(F.col("off"), F.col("piece"))
+            ).alias("span"),
+        )
+        .select("url", "span.*")
+    )
+    return assemble_stage(spans)
 
 
 def extract_pages(

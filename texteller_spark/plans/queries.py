@@ -1113,6 +1113,32 @@ ORDER BY formula_id
 """
 
 
+def q_chunked_extract(spark, sf):
+    """W5 equivalence under the driver's hard check: run the flagship and
+    the chunked oversized-document path over the same pages and count
+    mismatched urls — the oracle pins (n_urls, 0), so any divergence
+    between piece-wise and single-pass extraction turns this row red."""
+    from ..plans.pipeline import extract_pages_chunked
+
+    pages = pages_from_documents(_t(spark, sf, "documents"))
+    a = extract_pages(pages).select("url", F.col("extracted_text").alias("t_flag"))
+    b = extract_pages_chunked(pages, max_chunk_chars=2000).select(
+        "url", F.col("extracted_text").alias("t_chunk")
+    )
+    return a.join(b, "url", "full_outer").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(
+            F.when(F.col("t_flag").eqNullSafe(F.col("t_chunk")), 0).otherwise(1)
+        ).alias("n_mismatch"),
+    )
+
+
+_SQL_CHUNKED_EXTRACT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_urls, CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+"""
+
+
 def q_span_table(spark, sf):
     """S5: the exploded span-table checkpoint (width-sorted recognition
     batches) — span counts by kind over pages derived from documents."""
@@ -1414,6 +1440,7 @@ QUERIES = {
     "w4_rank_frames": q_rank_frames,
     "s4_fixture_scan": q_fixture_scan,
     "s5_span_table": q_span_table,
+    "w5_chunked_extract": q_chunked_extract,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -1468,4 +1495,5 @@ ORACLES = {
     "mm_media_features": _SQL_MEDIA_FEATURES,
     "mm_media_frames": _SQL_MEDIA_FRAMES,
     "mm_media_resize": _SQL_MEDIA_RESIZE,
+    "w5_chunked_extract": _SQL_CHUNKED_EXTRACT,
 }
