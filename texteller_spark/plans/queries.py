@@ -1113,6 +1113,65 @@ ORDER BY formula_id
 """
 
 
+_STREAM_COUNTER = [0]
+
+
+def q_stream_span_rates(spark, sf):
+    """Structured Streaming under the driver's hard check: the windowed
+    span-rate aggregation (watermarked event time on ``warc_ts``) runs as a
+    real streaming query — file source over the documents parquet, memory
+    sink, one ``availableNow`` pass — and the materialized result is
+    compared against a batch-equivalent DuckDB oracle (span counts per page
+    are deterministic from the doc_blocks structure: 5 text + 1 embedding +
+    1 isolated per document; warc_ts = 2024-01-01 + doc_id minutes)."""
+    from pyspark.sql import types as T
+
+    from ..streaming.stream import streaming_span_rates
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    rates = streaming_span_rates(
+        pages_from_documents(docs_stream), watermark="1 hour", window="10 minutes"
+    )
+    _STREAM_COUNTER[0] += 1
+    sink = f"span_rates_sink_{_STREAM_COUNTER[0]}"
+    q = (
+        rates.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("window.start").alias("win_start"), "kind", "n_spans"
+    )
+
+
+_SQL_STREAM_RATES = """
+WITH w AS (
+  SELECT CAST(to_timestamp(CAST(floor((epoch(TIMESTAMP '2024-01-01 00:00:00')
+               + doc_id * 60) / 600) * 600 AS BIGINT)) AS TIMESTAMP) AS win_start
+  FROM documents
+)
+SELECT win_start, k.kind, CAST(COUNT(*) * k.per_doc AS BIGINT) AS n_spans
+FROM w, (VALUES ('text', 5), ('embedding', 1), ('isolated', 1)) k(kind, per_doc)
+GROUP BY 1, 2, k.per_doc
+"""
+
+
 def q_chunked_extract(spark, sf):
     """W5 equivalence under the driver's hard check: run the flagship and
     the chunked oversized-document path over the same pages and count
@@ -1141,12 +1200,23 @@ FROM documents
 
 def q_span_table(spark, sf):
     """S5: the exploded span-table checkpoint (width-sorted recognition
-    batches) — span counts by kind over pages derived from documents."""
+    batches) — span counts by kind over pages derived from documents.
+    The doc subset is a stable predicate (``doc_id < 200``), not a
+    ``limit`` (layout-dependent), so the oracle can mirror the per-doc
+    span structure (5 text + 1 embedding + 1 isolated per ``doc_blocks``)."""
     from ..plans.pipeline import span_table
 
-    docs = _t(spark, sf, "documents").limit(200)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     spans = span_table(pages_from_documents(docs))
     return spans.groupBy("kind").agg(F.count(F.lit(1)).alias("n_spans"))
+
+
+_SQL_SPAN_TABLE = """
+SELECT k.kind, CAST(COUNT(*) * k.per_doc AS BIGINT) AS n_spans
+FROM documents, (VALUES ('text', 5), ('embedding', 1), ('isolated', 1)) k(kind, per_doc)
+WHERE doc_id < 200
+GROUP BY k.kind, k.per_doc
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1441,6 +1511,7 @@ QUERIES = {
     "s4_fixture_scan": q_fixture_scan,
     "s5_span_table": q_span_table,
     "w5_chunked_extract": q_chunked_extract,
+    "stream_span_rates": q_stream_span_rates,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -1496,4 +1567,6 @@ ORACLES = {
     "mm_media_frames": _SQL_MEDIA_FRAMES,
     "mm_media_resize": _SQL_MEDIA_RESIZE,
     "w5_chunked_extract": _SQL_CHUNKED_EXTRACT,
+    "stream_span_rates": _SQL_STREAM_RATES,
+    "s5_span_table": _SQL_SPAN_TABLE,
 }
