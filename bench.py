@@ -55,7 +55,7 @@ def main() -> None:
 
     from texteller_spark.operators.dedup import release_caches
     from texteller_spark.plans import queries as Q
-    from texteller_spark.plans.pipeline import extract_pages
+    from texteller_spark.plans.pipeline import extract_pages, extract_pages_chunked
     from texteller_spark.session import build_session
     from texteller_spark.sources.pages import pages_df
 
@@ -76,6 +76,10 @@ def main() -> None:
         # secondary: text-only consumers skip the span payload on the
         # worker→JVM feed (same kernel, byte-identical extracted_text)
         "pipeline_extract_text": lambda: extract_pages(corpus, include_spans=False),
+        # W5 oversized-doc path: pays one chunk-spread shuffle + the groupBy
+        # — the premium over the shuffle-free flagship buys bounded per-task
+        # work when single documents are huge
+        "pipeline_extract_chunked": lambda: extract_pages_chunked(corpus),
         "q1_pricing_summary": lambda: Q.q_pricing_summary(spark, SF_DIR),
         "q6_revenue_scalar": lambda: Q.q_revenue_scalar(spark, SF_DIR),
         "j2_region_rollup": lambda: Q.q_region_rollup(spark, SF_DIR),
@@ -90,6 +94,7 @@ def main() -> None:
         "dedup_exact": lambda: Q.q_dedup_exact(spark, SF_DIR),
         "dedup_minhash_lsh": lambda: Q.q_minhash_lsh(spark, SF_DIR),
         "dedup_simhash": lambda: Q.q_simhash(spark, SF_DIR),
+        "dedup_embedding_lsh": lambda: Q.q_embedding_lsh(spark, SF_DIR),
         "text_quality": lambda: Q.q_quality(spark, SF_DIR),
         "text_bpe_tokens": lambda: Q.q_bpe_tokens(spark, SF_DIR),
         "sim_cosine_topk": lambda: Q.q_cosine_topk(spark, SF_DIR),

@@ -47,9 +47,19 @@ def _build(
 ) -> SparkSession:
     n = cpus or default_parallelism()
     shuffle = shuffle_partitions or max(2 * n, 32)
+    # SPARK_GRAFT_MASTER overrides the master URL — used by the scaling
+    # experiment to run the identical job under local-cluster[N,cores,mem]
+    # (N separate executor JVMs on this host, each with its own Arrow feed
+    # path — the closest in-sandbox approximation of a multi-executor
+    # cluster; see tools/bench_cluster_scaling.py)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]")
+    builder = SparkSession.builder.master(master)
+    if master.startswith("local-cluster"):
+        builder = builder.config(
+            "spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "4g")
+        )
     return (
-        SparkSession.builder.master(f"local[{n}]")
-        .appName(app)
+        builder.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,92 @@
+"""Multi-executor N→4N scaling experiment (the north-rule gate, run with
+real executor separation).
+
+The local[*] protocol (tools/bench_scaling.py) shares ONE JVM across all
+worker slots, and PLANS.md §2 attributes its 8→32-core efficiency droop to
+that single JVM's Arrow feed path (loopback-socket copies are a per-JVM
+resource). This experiment tests the attribution directly:
+``local-cluster[N,8,mem]`` launches N SEPARATE executor JVMs on this host —
+each with its own Arrow feed, Python worker pool, and GC — which is the
+closest in-sandbox approximation of N cluster executors. Identical job,
+identical input, 8 cores per executor:
+
+    local-cluster[1,8,m]  =  8 cores, 1 executor   (N)
+    local-cluster[4,8,m]  = 32 cores, 4 executors  (4N)
+
+Levels are sampled in INTERLEAVED rounds (same environmental window — this
+host shows multi-minute kernel-noise drifts), median across rounds; each
+sample is itself a median-of-REPS inside bench.py after a full warmup pass.
+
+Usage: python tools/bench_cluster_scaling.py [n_docs] [rounds]
+Results: JSON on stdout; paste/append into BENCH.md §multi-executor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
+ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = 3
+
+#: (label, master, total_cores)
+LEVELS = [
+    ("1x8", "local-cluster[1,8,6144]", 8),
+    ("2x8", "local-cluster[2,8,6144]", 16),
+    ("4x8", "local-cluster[4,8,6144]", 32),
+]
+
+
+def run(master: str, cores: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_MASTER=master,
+        SPARK_GRAFT_EXEC_MEM="5g",
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_SF_DIR=SF_DIR,
+        SPARK_GRAFT_BENCH_DOCS=str(N_DOCS),
+        SPARK_GRAFT_BENCH_ONLY="pipeline_extract",
+        SPARK_GRAFT_BENCH_REPS=str(REPS),
+        MALLOC_TRIM_THRESHOLD_="-1",
+        MALLOC_MMAP_THRESHOLD_="134217728",
+        MALLOC_ARENA_MAX="2",
+    )
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3000,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    samples: dict[str, list[float]] = {label: [] for label, _, _ in LEVELS}
+    for rnd in range(ROUNDS):
+        for label, master, cores in LEVELS:
+            r = run(master, cores)
+            samples[label].append(r["extract_docs_per_sec"])
+            print(
+                f"round {rnd} {label} ({master}): {r['extract_docs_per_sec']} docs/s",
+                flush=True,
+            )
+    dps = {label: sorted(v)[len(v) // 2] for label, v in samples.items()}
+    result = {
+        "protocol": "interleaved multi-executor local-cluster, median of "
+        f"{ROUNDS} rounds x median-of-{REPS} reps, {N_DOCS} docs",
+        "docs_per_sec": dps,
+        "samples": samples,
+        "eff_1x8_to_2x8": round(dps["2x8"] / dps["1x8"] / 2.0, 3),
+        "eff_1x8_to_4x8": round(dps["4x8"] / dps["1x8"] / 4.0, 3),
+        "eff_2x8_to_4x8": round(dps["4x8"] / dps["2x8"] / 2.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
