@@ -35,6 +35,9 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 #: pipeline); empty = all
 ONLY = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+#: warmup passes before timing (multi-executor runs need 2: each fresh
+#: executor JVM JITs the whole codepath independently)
+WARMUP = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
 #: store html gzip-compressed (WARC-faithful; default on) — the kernel
 #: decompresses worker-side, so compressed bytes cross the Arrow feed
 GZIP_HTML = os.environ.get("SPARK_GRAFT_BENCH_GZIP", "1") == "1"
@@ -110,8 +113,9 @@ def main() -> None:
     # needed: a partial warmup leaves most scan splits cold and the first
     # timed run then absorbs one-time costs (measured: first full pass up
     # to 3x steady state on this host).
-    if "pipeline_extract" in builders:
-        force(extract_pages(corpus))
+    for _ in range(WARMUP):
+        if "pipeline_extract" in builders:
+            force(extract_pages(corpus))
     for name, b in builders.items():
         if name != "pipeline_extract":
             force(b())

@@ -58,6 +58,21 @@ def _build(
         builder = builder.config(
             "spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "4g")
         )
+        # Per-executor JVM sizing — what a real cluster's cgroups/YARN give
+        # each executor for free. Without it every co-hosted executor JVM
+        # sizes GC/JIT/netty pools for ALL host cores (4 JVMs × 32-core
+        # pools = thread storm), and cold heaps pay page-fault+usercopy
+        # costs inside the measured window. Measured on the 4x8 probe:
+        # steady-state 14-17k → 23-29k docs/s, kernel time 25-34% → 6-21%.
+        try:
+            cores = int(master.split("[")[1].split(",")[1])
+        except (IndexError, ValueError):
+            cores = 8
+        builder = builder.config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={cores} -XX:+AlwaysPreTouch "
+            "-XX:+UseParallelGC -XX:ParallelGCThreads=4",
+        )
     return (
         builder.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))

@@ -35,8 +35,15 @@ ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = 3
 
-#: (label, master, total_cores)
+#: (label, master, total_cores). Two regimes:
+#: * 1x2→4x2: the literal 1→4-executor N→4N pair at 2 cores/executor —
+#:   total load (8 cores) far below the host's kernel-side ceiling, so it
+#:   isolates EXECUTOR-COUNT scaling from host saturation.
+#: * 1x8→2x8→4x8: 8-core executors; 4x8 saturates the 32-core host's
+#:   loopback/usercopy kernel path shared by every topology (see BENCH.md).
 LEVELS = [
+    ("1x2", "local-cluster[1,2,6144]", 2),
+    ("4x2", "local-cluster[4,2,6144]", 8),
     ("1x8", "local-cluster[1,8,6144]", 8),
     ("2x8", "local-cluster[2,8,6144]", 16),
     ("4x8", "local-cluster[4,8,6144]", 32),
@@ -53,6 +60,7 @@ def run(master: str, cores: int) -> dict:
         SPARK_GRAFT_BENCH_DOCS=str(N_DOCS),
         SPARK_GRAFT_BENCH_ONLY="pipeline_extract",
         SPARK_GRAFT_BENCH_REPS=str(REPS),
+        SPARK_GRAFT_BENCH_WARMUP="2",  # each executor JVM JITs independently
         MALLOC_TRIM_THRESHOLD_="-1",
         MALLOC_MMAP_THRESHOLD_="134217728",
         MALLOC_ARENA_MAX="2",
@@ -78,12 +86,12 @@ def main() -> None:
     dps = {label: sorted(v)[len(v) // 2] for label, v in samples.items()}
     result = {
         "protocol": "interleaved multi-executor local-cluster, median of "
-        f"{ROUNDS} rounds x median-of-{REPS} reps, {N_DOCS} docs",
+        f"{ROUNDS} rounds x median-of-{REPS} reps, {N_DOCS} docs, warmup=2",
         "docs_per_sec": dps,
         "samples": samples,
-        "eff_1x8_to_2x8": round(dps["2x8"] / dps["1x8"] / 2.0, 3),
-        "eff_1x8_to_4x8": round(dps["4x8"] / dps["1x8"] / 4.0, 3),
-        "eff_2x8_to_4x8": round(dps["4x8"] / dps["2x8"] / 2.0, 3),
+        "eff_1x2_to_4x2_executors_1_to_4": round(dps["4x2"] / dps["1x2"] / 4.0, 3),
+        "eff_1x8_to_2x8_executors_1_to_2": round(dps["2x8"] / dps["1x8"] / 2.0, 3),
+        "eff_1x8_to_4x8_executors_1_to_4": round(dps["4x8"] / dps["1x8"] / 4.0, 3),
     }
     print(json.dumps(result))
 
