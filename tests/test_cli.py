@@ -17,3 +17,19 @@ def test_cli_synth_extract_and_resume(spark, tmp_path):
     # resume run over the same corpus: everything already done → no new rows
     main(["--synth", "60", "--output", out, "--run-id", "r2", "--resume"])
     assert spark.read.parquet(f"{out}/extracted").count() == 60
+
+
+def test_cli_chunked_matches_whole_document(spark, tmp_path):
+    """--chunk-chars (W5) through the job surface: same urls, same bytes."""
+    a, b = str(tmp_path / "whole"), str(tmp_path / "chunked")
+    main(["--synth", "40", "--output", a, "--run-id", "r1"])
+    main(["--synth", "40", "--output", b, "--run-id", "r1", "--chunk-chars", "1500"])
+    whole = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(f"{a}/extracted").collect()
+    }
+    chunked = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(f"{b}/extracted").collect()
+    }
+    assert chunked == whole

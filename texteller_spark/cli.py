@@ -14,7 +14,7 @@ import argparse
 from pyspark.sql import SparkSession
 
 from .plans.checkpoint import resume_pending, write_extracted
-from .plans.pipeline import extract_pages
+from .plans.pipeline import extract_pages, extract_pages_chunked
 from .session import build_session, ship_package
 from .sources.pages import pages_df
 
@@ -27,6 +27,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--resume", action="store_true", help="skip already-extracted urls")
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument(
+        "--chunk-chars",
+        type=int,
+        default=0,
+        help="split oversized documents at safe points into chunks of ~N "
+        "chars and spread them across tasks (W5; 0 = whole-document map)",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.getActiveSession()
@@ -42,7 +49,11 @@ def main(argv: list[str] | None = None) -> None:
     )
     if args.resume:
         pages = resume_pending(pages, args.output)
-    out = extract_pages(pages, partitions=args.partitions)
+    out = (
+        extract_pages_chunked(pages, args.chunk_chars, partitions=args.partitions)
+        if args.chunk_chars
+        else extract_pages(pages, partitions=args.partitions)
+    )
     write_extracted(out, args.output, args.run_id)
     n = spark.read.parquet(f"{args.output}/extracted").count()
     print(f"extracted table now holds {n} urls")
