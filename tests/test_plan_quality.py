@@ -135,6 +135,18 @@ def test_lsh_plane_sign_margins_are_engine_safe(spark, Q):
     assert np.abs(mat @ planes.T).min() > 1e-9
 
 
+def test_chunked_pipeline_costs_exactly_two_exchanges(spark):
+    """W5 plan shape: one repartition to spread chunks + the final
+    groupBy(url) — no third shuffle may sneak in (the span payload is the
+    widest data in flight; an extra exchange of it would dominate)."""
+    from texteller_spark.plans.pipeline import extract_pages_chunked
+    from texteller_spark.sources.pages import pages_from_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(extract_pages_chunked(pages_from_documents(docs)))
+    assert p.count("Exchange hashpartitioning") == 2
+
+
 def test_span_queries_keep_scan_pruned(spark, Q):
     # metric-only queries over documents must not drag the full text column
     # through a shuffle: the scan projects, the agg is partial+final
