@@ -94,6 +94,37 @@ def test_64mib_page_extracts_byte_identically():
     assert assemble_document(ch) == assemble_document(un)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _TOKENS = st.sampled_from(
+        [
+            "word ", "x ", "$a+b$ ", "$$E=mc^{2}$$", r"\(y\) ", r"\[z\]",
+            "$5 and $10 ", "<p>", "</p>", "<div>", "</div>", "<br/>",
+            "<b>", "</b>", "<script>", "</script>", "<style>", "</style>",
+            "<math><mi>x</mi></math>", '<math display="block"><mi>q</mi></math>',
+            "<!-- c -->", "&amp; ", "café ", "<h1>", "</h1>", "<li>", "</li>",
+            "<p", ">", "<", "$", "\\",
+        ]
+    )
+
+    @given(st.lists(_TOKENS, min_size=0, max_size=120), st.integers(16, 400))
+    @settings(max_examples=150, deadline=None)
+    def test_chunked_equivalence_fuzz(tokens, target):
+        """Property: for ANY tag soup (unbalanced tags, stray $/backslashes,
+        math at chunk borders, suppressed subtrees), piece-wise detection
+        over safe split points equals the single-pass scan."""
+        doc = "".join(tokens)
+        un = _unchunked_recognized(doc)
+        ch = _chunked_recognized(doc, target)
+        assert _key(ch) == _key(un)
+        assert assemble_document(ch) == assemble_document(un)
+
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_spark_chunked_pipeline_matches_flagship(spark):
     from pyspark.sql import functions as F
 
