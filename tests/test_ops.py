@@ -179,7 +179,7 @@ def test_lsh_near_dup_recall_and_no_false_positives(spark):
     }
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in lsh_near_dup_pairs(df, dim=32, threshold=0.9, bits=16, bands=4).collect()
+        for r in lsh_near_dup_pairs(df, dim=32, threshold=0.9, bits=32, bands=4).collect()
     }
     release_caches()
     assert lsh <= exact  # never a false positive

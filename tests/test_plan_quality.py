@@ -131,7 +131,7 @@ def test_lsh_plane_sign_margins_are_engine_safe(spark, Q):
         .fetchnumpy()["embedding"]
     )
     mat = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
-    planes = plane_matrix(mat.shape[1], 16)
+    planes = plane_matrix(mat.shape[1], 32)
     assert np.abs(mat @ planes.T).min() > 1e-9
 
 

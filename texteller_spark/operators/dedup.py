@@ -28,6 +28,7 @@ which puts the whole LSH family under the driver's value-exact check.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -81,6 +82,7 @@ _A = _rng.randint(1, 1 << 31, size=_N_HASHES, dtype=np.int64)
 _B = _rng.randint(0, 1 << 31, size=_N_HASHES, dtype=np.int64)
 
 
+@lru_cache(maxsize=1 << 20)
 def _hash32(s: str) -> int:
     """32-bit deterministic string hash = first 8 hex chars of md5 —
     portable across engines (SQL: CAST('0x'||substr(md5(s),1,8) AS BIGINT))."""
@@ -220,6 +222,7 @@ def minhash_lsh_pairs(
     )
 
 
+@lru_cache(maxsize=1 << 20)
 def _tok_hash64(t: str) -> int:
     """64-bit token hash from two md5 32-bit prefixes (lo = hex[0:8],
     hi = hex[8:16]) — bit-for-bit recomputable in SQL."""

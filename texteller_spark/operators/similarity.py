@@ -175,7 +175,7 @@ def lsh_near_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.45,
-    bits: int = 16,
+    bits: int = 32,
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

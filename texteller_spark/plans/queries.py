@@ -980,10 +980,10 @@ def q_embedding_lsh(spark, sf):
     (bucket equi-join; no all-pairs join in the plan). Same rounded-cosine
     admission predicate as the exact baseline."""
     e = _t(spark, sf, "embeddings")
-    return lsh_near_dup_pairs(e, dim=_EMB_DIM, threshold=0.45, bits=16, bands=4)
+    return lsh_near_dup_pairs(e, dim=_EMB_DIM, threshold=0.45, bits=32, bands=4)
 
 
-def _emb_lsh_sql(bits: int = 16, band_width: int = 4, threshold: float = 0.45) -> str:
+def _emb_lsh_sql(bits: int = 32, band_width: int = 8, threshold: float = 0.45) -> str:
     return f"""
 WITH dots AS (
   SELECT e.vec_id, p.plane_id,
