@@ -139,7 +139,15 @@ def main() -> None:
     for c in (2, 8, 32):
         lines.append(json.dumps(results[c]))
     lines.append("```")
-    (ROOT / "BENCH.md").write_text("\n".join(lines) + "\n")
+    # preserve the multi-executor section (written by bench_cluster_scaling
+    # analysis) across regenerations of the local-mode tables
+    bench_md = ROOT / "BENCH.md"
+    if bench_md.exists():
+        old = bench_md.read_text()
+        marker = "## Multi-executor scaling"
+        if marker in old:
+            lines.append("\n" + old[old.index(marker):].rstrip())
+    bench_md.write_text("\n".join(lines) + "\n")
     print(json.dumps({"dps": dps, "eff_2_8": eff_2_8, "eff_8_32": eff_8_32}))
 
 
