@@ -246,3 +246,41 @@ def test_multimodal_resize(spark):
     # schema-stable: stages compose (resize → resize is valid)
     again = resize_media(resize_media(media, 16, 16), 16, 16).count()
     assert again == 9
+
+
+def test_multimodal_real_codec_smoke(spark):
+    """Exercises the REAL codec path (require_real=True) — auto-activates on
+    any container that ships PIL; skips (with reason) where codecs are
+    genuinely absent, which is the documented stub justification."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from texteller_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+        resize_media,
+    )
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), 128).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, "image", png, "image/png", 16, 16, None)], schema=MEDIA_SCHEMA
+    )
+    feats = decode_features(df, require_real=True).collect()
+    assert feats[0]["feature"][128 >> 5] == 1.0  # constant-gray → one bin
+    resized = resize_media(df, 8, 8, require_real=True).collect()
+    assert resized[0]["width"] == 8 and resized[0]["height"] == 8
+    assert Image.open(io.BytesIO(bytes(resized[0]["payload"]))).size == (8, 8)
+
+
+def test_multimodal_require_real_raises_without_codecs():
+    from texteller_spark.operators.multimodal import _HAVE_PIL, _decode_stub
+
+    with pytest.raises(NotImplementedError):
+        _decode_stub(b"x", "audio", True)  # no audio codec in any config
+    if not _HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            _decode_stub(b"x", "image", True)

@@ -13,6 +13,7 @@ cluster with the libs installed.
 
 from __future__ import annotations
 
+import io
 from typing import Iterator
 
 import numpy as np
@@ -20,6 +21,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # real image codec, used by the require_real path when present
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:  # container has no codec libs — deterministic stubs only
+    _HAVE_PIL = False
 
 __all__ = [
     "MEDIA_SCHEMA",
@@ -77,13 +85,28 @@ def attach_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def _decode_real_image(payload: bytes) -> np.ndarray:
+    """Real image decode (PIL): pixels → the same 8-bin intensity histogram
+    feature contract as the stub, computed over decoded grayscale pixels
+    instead of raw container bytes."""
+    img = _PILImage.open(io.BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype=np.uint8).ravel()
+    hist = np.bincount(arr >> 5, minlength=8).astype(np.float64)
+    return (hist / max(hist.sum(), 1.0)).astype(np.float32)
+
+
 def _decode_stub(payload: bytes, kind: str, require_real: bool) -> np.ndarray:
-    """STUB for the native decode (PIL/librosa/ffmpeg). Deterministic fake:
-    8-bin byte histogram, L1-normalized."""
+    """Media decode. ``require_real=True`` uses the actual codec when the
+    library is importable (PIL for images — import-gated so the path
+    activates automatically on a container that ships it) and raises for
+    codecs genuinely absent; the default is the deterministic fake (8-bin
+    byte histogram, L1-normalized) that keeps plumbing testable here."""
     if require_real:
+        if kind == "image" and _HAVE_PIL:
+            return _decode_real_image(payload or b"")
         raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg — not available in this "
-            "container; deploy with the codec libs and replace _decode_stub"
+            "real media decode for this kind requires PIL/librosa/ffmpeg — "
+            "not available in this container; deploy with the codec libs"
         )
     arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
     hist = np.bincount(arr >> 5, minlength=8).astype(np.float64)
@@ -121,14 +144,20 @@ def decode_features(df: DataFrame, require_real: bool = False) -> DataFrame:
 
 
 def _resize_stub(payload: bytes, w: int, h: int, require_real: bool) -> bytes:
-    """STUB for the native resize (PIL/cv2 bicubic — the reference resizes
-    to ≤448², transforms.py:89-97). Deterministic fake: stride-subsample the
+    """Image resize. ``require_real=True`` + PIL → actual bicubic resize to
+    (w, h), re-encoded PNG (the reference resizes to ≤448²,
+    transforms.py:89-97). Default: deterministic fake — stride-subsample the
     payload to exactly ``w*h`` bytes (pad with zeros when shorter), so the
     output size contract (fixed target dims) is real and testable."""
     if require_real:
+        if _HAVE_PIL:
+            img = _PILImage.open(io.BytesIO(payload or b""))
+            out = io.BytesIO()
+            img.resize((w, h), _PILImage.BICUBIC).save(out, format="PNG")
+            return out.getvalue()
         raise NotImplementedError(
             "real image resize requires PIL/cv2 — not available in this "
-            "container; deploy with the codec libs and replace _resize_stub"
+            "container; deploy with the codec libs"
         )
     p = payload or b"\x00"
     n = w * h
