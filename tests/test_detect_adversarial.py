@@ -112,3 +112,27 @@ def test_cli_end_to_end(tmp_path, spark):
     assert n2 == 50
     m = spark.read.parquet(f"{out}/_metrics")
     assert m.filter("stage like 'assemble:t1%'").count() > 0
+
+
+def test_decode_page_honors_declared_charset():
+    # cp1252 0x80 = euro sign; latin-1 would yield U+0080 control char
+    page = '<meta charset="windows-1252"><p>price \u20ac5</p>'.encode("cp1252")
+    assert "\u20ac5" in decode_page(page)
+    # http-equiv form
+    page2 = ('<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-15">'
+             "<p>caf\xe9</p>").encode("iso-8859-15")
+    assert "caf\xe9" in decode_page(page2)
+    # lying/bogus declarations fall back to the utf-8 -> latin-1 sniff
+    bogus = '<meta charset="no-such-enc"><p>caf\xe9</p>'.encode("utf-8")
+    assert "caf\xe9" in decode_page(bogus)
+    lying = '<meta charset="utf-8"><p>caf\xe9</p>'.encode("latin-1")
+    assert "caf" in decode_page(lying)  # declared utf-8 fails -> latin-1 fallback
+
+def test_decode_page_gzip_corrupt_degrades():
+    import gzip as _g
+    good = _g.compress(b"<p>ok</p>")
+    assert "ok" in decode_page(good)
+    truncated = good[:-5]
+    assert isinstance(decode_page(truncated), str)  # EOFError path: no crash
+    corrupt = good[:10] + b"\x00\x00\x00\x00" + good[14:]
+    assert isinstance(decode_page(corrupt), str)  # zlib.error path: no crash

@@ -100,14 +100,20 @@ _MATH_RE = re.compile(
 #: inner content that makes a single-dollar match look like real TeX
 _TEXY_RE = re.compile(r"[\\^_={}]")
 
+#: charset declaration in the document head (``<meta charset=…>`` or the
+#: http-equiv Content-Type form) — sniffed from the leading bytes
+_CHARSET_RE = re.compile(rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE)
+
 
 def decode_page(html: bytes | bytearray | memoryview | str | None) -> str:
     """Robust byte→str decode: transparent gzip (magic-byte sniff — WARC
     payloads are naturally gzipped, and shipping compressed bytes through
     the JVM→Python Arrow feed divides the measured per-JVM feed bottleneck
-    by the compression ratio; see PLANS.md §2), then UTF-8 falling back to
-    latin-1 (which is total). Analog of the reference's multi-format image
-    decode."""
+    by the compression ratio; see PLANS.md §2), then a declared
+    ``<meta charset=…>`` sniffed from the leading bytes (browser-like;
+    unknown/undecodable declarations are ignored), then UTF-8 falling back
+    to latin-1 (which is total). Analog of the reference's multi-format
+    image decode (``ocr_model/utils/helpers.py:6-26``)."""
     if html is None:
         return ""
     if isinstance(html, str):
@@ -121,6 +127,12 @@ def decode_page(html: bytes | bytearray | memoryview | str | None) -> str:
             # corrupt deflate data (zlib.error) — real WARC archives contain
             # all three; degrade to treating the bytes as raw
             pass
+    m = _CHARSET_RE.search(b[:2048])
+    if m:
+        try:
+            return b.decode(m.group(1).decode("ascii"))
+        except (LookupError, UnicodeDecodeError, ValueError):
+            pass  # bogus or lying declaration: fall through to the sniff
     try:
         return b.decode("utf-8")
     except UnicodeDecodeError:
