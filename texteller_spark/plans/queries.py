@@ -212,6 +212,37 @@ GROUP BY n_name, p_brand
 """
 
 
+def q_small_qty_revenue(spark, sf):
+    """TPC-H Q17 analog: correlated scalar subquery — lineitems whose
+    quantity is below 20% of their part's average. Spark-first rewrite: the
+    per-part average is a (tiny) aggregate joined back broadcast, so the
+    fact table is scanned once and never shuffled (the correlated-subquery
+    de-correlation Catalyst would do, written explicitly)."""
+    li = _t(spark, sf, "lineitem")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("p_key"))
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_floor"))
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == avg_qty.p_key)
+        .filter(F.col("l_quantity") < F.col("qty_floor"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+_SQL_SMALL_QTY = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.2 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+)
+"""
+
+
 def q_zip_positional(spark, sf):
     """J1: positional zip join — posexplode keeps (pos, word) aligned with
     zero shuffle (arrays stay row-local)."""
@@ -1172,6 +1203,56 @@ GROUP BY 1, 2, k.per_doc
 """
 
 
+def q_stream_first_seen(spark, sf):
+    """The custom STATEFUL streaming operator (applyInPandasWithState
+    cross-crawl first-seen url dedup) under the hard check: the source
+    delivers every page twice (union of the stream with itself — the
+    re-crawl analog), the state op emits exactly one row per url with the
+    batch-min ``warc_ts``, and the oracle reconstructs that row set
+    relationally. Cross-batch arrival-order semantics are pytest-covered
+    (a memory-sink single-batch run can only exercise within-batch state)."""
+    from pyspark.sql import types as T
+
+    from ..streaming.stream import streaming_dedup_first_seen
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    pages = pages_from_documents(docs_stream)
+    deduped = streaming_dedup_first_seen(pages.union(pages))
+    _STREAM_COUNTER[0] += 1
+    sink = f"first_seen_sink_{_STREAM_COUNTER[0]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("url", "warc_ts", "lang")
+
+
+_SQL_STREAM_FIRST_SEEN = """
+SELECT 'https://synth.test/docs/' || doc_id AS url,
+       CAST(to_timestamp(epoch(TIMESTAMP '2024-01-01 00:00:00') + doc_id * 60)
+            AS TIMESTAMP) AS warc_ts,
+       lang
+FROM documents
+"""
+
+
 def q_chunked_extract(spark, sf):
     """W5 equivalence under the driver's hard check: run the flagship and
     the chunked oversized-document path over the same pages and count
@@ -1477,6 +1558,7 @@ QUERIES = {
     "j2_region_rollup": q_region_rollup,
     "q3_shipping_priority": q_shipping_priority,
     "q9_profit_star": q_profit_by_nation_brand,
+    "q17_small_qty": q_small_qty_revenue,
     "j1_zip_positional": q_zip_positional,
     "j3_range_join": q_range_join,
     "j4_sessionize": q_sessionize,
@@ -1512,6 +1594,7 @@ QUERIES = {
     "s5_span_table": q_span_table,
     "w5_chunked_extract": q_chunked_extract,
     "stream_span_rates": q_stream_span_rates,
+    "stream_first_seen": q_stream_first_seen,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -1527,6 +1610,7 @@ ORACLES = {
     "j2_region_rollup": _SQL_REGION,
     "q3_shipping_priority": _SQL_SHIPPING,
     "q9_profit_star": _SQL_PROFIT,
+    "q17_small_qty": _SQL_SMALL_QTY,
     "j1_zip_positional": _SQL_ZIP,
     "j3_range_join": _SQL_RANGE,
     "j4_sessionize": _SQL_SESSIONIZE,
@@ -1568,5 +1652,6 @@ ORACLES = {
     "mm_media_resize": _SQL_MEDIA_RESIZE,
     "w5_chunked_extract": _SQL_CHUNKED_EXTRACT,
     "stream_span_rates": _SQL_STREAM_RATES,
+    "stream_first_seen": _SQL_STREAM_FIRST_SEEN,
     "s5_span_table": _SQL_SPAN_TABLE,
 }
