@@ -147,6 +147,20 @@ def test_chunked_pipeline_costs_exactly_two_exchanges(spark):
     assert p.count("Exchange hashpartitioning") == 2
 
 
+def test_no_row_at_a_time_python_in_any_catalog_plan(spark, Q):
+    """Global hygiene: NO catalog query may plan a BatchEvalPython node
+    (row-at-a-time Python UDF — the 10-100x slow path). Arrow-batched
+    nodes (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas) are the
+    only sanctioned Python surfaces. Streaming entries execute eagerly on
+    build, so they are exercised by their oracle tests instead."""
+    skip = {"stream_span_rates", "stream_first_seen"}
+    for name, fn in Q.QUERIES.items():
+        if name in skip:
+            continue
+        p = plan_of(fn(spark, SF))
+        assert "BatchEvalPython" not in p, name
+
+
 def test_span_queries_keep_scan_pruned(spark, Q):
     # metric-only queries over documents must not drag the full text column
     # through a shuffle: the scan projects, the agg is partial+final
