@@ -813,6 +813,77 @@ GROUP BY 1
 """
 
 
+def q_training_prep(spark, sf):
+    """Capstone composed training-data pipeline: exact dedup (keep the
+    min-doc_id survivor per digest) → quality/token admission filter →
+    layout-independent salted-hash 90/10 split → per-split counts + mean
+    quality. Each stage is an already-oracled operator; this entry pins
+    their COMPOSITION (the shape a real corpus-prep job runs). Scale
+    posture: the dedup side joins only (digest, keep_id) — never text —
+    and the filter/split are scan-level column expressions."""
+    d = _t(spark, sf, "documents").withColumn("digest", F.md5("text"))
+    dups = exact_duplicate_groups(_t(spark, sf, "documents"), "text").select(
+        "digest", "keep_id"
+    )
+    kept = d.join(F.broadcast(dups), "digest", "left").filter(
+        F.col("keep_id").isNull() | (F.col("doc_id") == F.col("keep_id"))
+    )
+    q = textops.quality_score(F.col("text"))
+    admitted = kept.filter(
+        (q >= 0.5)
+        & (textops.token_count(F.col("text")) >= 5)
+        & (textops.token_count(F.col("text")) < 1014)
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return (
+        admitted.select(
+            F.when(bucket < 9, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+            q.alias("_q"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_q"), 3).alias("avg_quality"),
+        )
+    )
+
+
+_SQL_TRAINING_PREP = """
+WITH scored AS (
+  SELECT doc_id, text, md5(text) AS digest,
+         0.4 * least(length(text) / 500.0, 1.0)
+       + 0.4 * least(4.0 * len(list_filter(str_split_regex(lower(text), '\\s+'),
+             w -> w IN ('the','a','of','and','to','in','is','for','on','with')))
+             / greatest(len(str_split_regex(lower(text), '\\s+')), 1), 1.0)
+       + 0.2 * (1.0 - least(10.0 * length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+             / greatest(length(text), 1), 1.0)) AS q,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+), dups AS (
+  SELECT md5(text) AS digest, MIN(doc_id) AS keep_id
+  FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+), kept AS (
+  SELECT s.* FROM scored s LEFT JOIN dups USING (digest)
+  WHERE dups.keep_id IS NULL OR s.doc_id = dups.keep_id
+)
+SELECT CASE WHEN CAST('0x' || substr(md5(doc_id || ':42'), 1, 8) AS BIGINT) % 10 < 9
+            THEN 'train' ELSE 'val' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(q), 3) AS avg_quality
+FROM kept
+WHERE q >= 0.5 AND n_tok >= 5 AND n_tok < 1014
+GROUP BY 1
+"""
+
+
 def q_salted_agg(spark, sf):
     """Skew discipline: two-phase salted aggregation — partial agg on
     (key, salt), merge on key. Same result as a direct groupBy; the shape
@@ -1583,6 +1654,7 @@ QUERIES = {
     "sim_cosine_topk": q_cosine_topk,
     "p4_train_filter": q_train_filter,
     "p7_train_split": q_train_split,
+    "p8_training_prep": q_training_prep,
     "skew_salted_agg": q_salted_agg,
     "j6_semi_anti": q_semi_anti,
     "j7_asof_join": q_asof_join,
@@ -1635,6 +1707,7 @@ ORACLES = {
     "sim_cosine_topk": _SQL_COSINE,
     "p4_train_filter": _SQL_TRAIN_FILTER,
     "p7_train_split": _SQL_TRAIN_SPLIT,
+    "p8_training_prep": _SQL_TRAINING_PREP,
     "skew_salted_agg": _SQL_SALTED_AGG,
     "j6_semi_anti": _SQL_SEMI_ANTI,
     "j7_asof_join": _SQL_ASOF,
