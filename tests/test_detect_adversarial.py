@@ -136,3 +136,12 @@ def test_decode_page_gzip_corrupt_degrades():
     assert isinstance(decode_page(truncated), str)  # EOFError path: no crash
     corrupt = good[:10] + b"\x00\x00\x00\x00" + good[14:]
     assert isinstance(decode_page(corrupt), str)  # zlib.error path: no crash
+
+def test_decode_page_boms():
+    assert decode_page(b"\xef\xbb\xbf<p>x</p>") == "<p>x</p>"  # utf-8 BOM stripped
+    assert decode_page(
+        b"\xff\xfe" + "<p>caf\xe9 $x$</p>".encode("utf-16-le")
+    ) == "<p>caf\xe9 $x$</p>"
+    assert decode_page(b"\xfe\xff" + "<p>ok</p>".encode("utf-16-be")) == "<p>ok</p>"
+    # odd-length utf-16 payload stays total (replacement, no crash)
+    assert isinstance(decode_page(b"\xff\xfe\x00ab"), str)

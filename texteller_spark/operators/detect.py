@@ -127,6 +127,14 @@ def decode_page(html: bytes | bytearray | memoryview | str | None) -> str:
             # corrupt deflate data (zlib.error) — real WARC archives contain
             # all three; degrade to treating the bytes as raw
             pass
+    # BOM sniff (the 16-bit-image analog of the reference's multi-format
+    # convert2rgb): BOMs beat any in-document declaration, per WHATWG
+    if b[:3] == b"\xef\xbb\xbf":
+        return b[3:].decode("utf-8", errors="replace")
+    if b[:2] == b"\xff\xfe":
+        return b[2:].decode("utf-16-le", errors="replace")
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", errors="replace")
     m = _CHARSET_RE.search(b[:2048])
     if m:
         try:
