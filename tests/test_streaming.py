@@ -94,3 +94,34 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
     # the two source files may land in one micro-batch only if the reader
     # ignored maxFilesPerTrigger; state must still dedup to min ts
     assert got["https://a.test/"]["text"].endswith("b1") or got["https://a.test/"]["warc_ts"].hour == 0
+
+
+def test_streaming_dedup_ttl_wiring(spark, tmp_path):
+    """TTL variant: the ProcessingTimeTimeout path must run a batch cleanly
+    (the expiry itself needs wall-clock between micro-batches — the wiring,
+    state write, and timeout registration are what one batch can pin)."""
+    import datetime
+
+    from texteller_spark.streaming.stream import streaming_dedup_first_seen
+
+    t0 = datetime.datetime(2024, 1, 1)
+    src = f"{tmp_path}/ttl_src"
+    rows = [
+        ("https://a.test/", t0, b"<html></html>", "ta", "en"),
+        ("https://a.test/", t0 + datetime.timedelta(hours=1), b"<html></html>", "ta2", "en"),
+        ("https://b.test/", t0, b"<html></html>", "tb", "en"),
+    ]
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    q = (
+        streaming_dedup_first_seen(stream, state_ttl_minutes=60)
+        .writeStream.format("memory")
+        .queryName("ttl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["url"]: r["warc_ts"] for r in spark.sql("SELECT * FROM ttl_out").collect()}
+    assert set(got) == {"https://a.test/", "https://b.test/"}
+    assert got["https://a.test/"].hour == 0  # min warc_ts within the batch

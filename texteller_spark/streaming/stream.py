@@ -51,7 +51,9 @@ def streaming_span_rates(pages_stream: DataFrame, watermark: str = "1 hour",
     )
 
 
-def streaming_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
+def streaming_dedup_first_seen(
+    pages_stream: DataFrame, state_ttl_minutes: int | None = None
+) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): cross-batch
     first-seen dedup by url.
 
@@ -64,6 +66,13 @@ def streaming_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
     (RocksDB-backed and partitioned by key at cluster scale, so state size
     scales with distinct urls per executor, not stream length). A url is
     emitted exactly once, in its arrival micro-batch.
+
+    ``state_ttl_minutes`` bounds total state for unbounded url spaces
+    (10^12 distinct urls can't hold a row each forever): idle url state
+    expires via a processing-time timeout, so a url re-crawled after the
+    TTL is treated as first-seen again and RE-emitted — the standard
+    bounded-state dedup tradeoff (dedup window = TTL). Default ``None``
+    keeps exact forever-state semantics.
     """
     import pandas as pd  # noqa: F401  (pandas batches cross the state op)
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -75,8 +84,12 @@ def streaming_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
 
     out_schema = pages_stream.select("url", "warc_ts", "text", "lang").schema
     state_schema = StructType([StructField("n_seen", LongType())])
+    ttl_ms = state_ttl_minutes * 60_000 if state_ttl_minutes else None
 
     def first_seen(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()  # idle url expired — next sighting is first-seen again
+            return
         n_prior = state.get[0] if state.exists else 0
         first = None
         n_new = 0
@@ -87,6 +100,8 @@ def streaming_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
                 if first is None or batch_first.iloc[0]["warc_ts"] < first.iloc[0]["warc_ts"]:
                     first = batch_first
         state.update((n_prior + n_new,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
         if n_prior == 0 and first is not None:
             yield first[["url", "warc_ts", "text", "lang"]]
 
@@ -98,6 +113,10 @@ def streaming_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
