@@ -215,16 +215,18 @@ GROUP BY n_name, p_brand
 def q_small_qty_revenue(spark, sf):
     """TPC-H Q17 analog: correlated scalar subquery — lineitems whose
     quantity is below 20% of their part's average. Spark-first rewrite: the
-    per-part average is a (tiny) aggregate joined back broadcast, so the
-    fact table is scanned once and never shuffled (the correlated-subquery
-    de-correlation Catalyst would do, written explicitly)."""
+    explicit de-correlation (per-part aggregate joined back on l_partkey).
+    The join strategy is AQE's call: broadcast at test scale, shuffle join
+    at 10^12 rows where the per-part aggregate is itself huge (one row per
+    part) — both sides then shuffle on the same key, and a bucketed layout
+    co-partitions them for free."""
     li = _t(spark, sf, "lineitem")
     avg_qty = (
         li.groupBy(F.col("l_partkey").alias("p_key"))
         .agg((F.avg("l_quantity") * 0.2).alias("qty_floor"))
     )
     return (
-        li.join(F.broadcast(avg_qty), li.l_partkey == avg_qty.p_key)
+        li.join(avg_qty, li.l_partkey == avg_qty.p_key)
         .filter(F.col("l_quantity") < F.col("qty_floor"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
