@@ -151,3 +151,21 @@ def test_spark_chunked_pipeline_matches_flagship(spark):
         "url", F.explode("spans").alias("s")
     ).select("url", "s.kind", "s.char_start", "s.char_end", "s.raw", "s.content")
     assert sorted(map(tuple, sflag.collect())) == sorted(map(tuple, schunk.collect()))
+
+
+def test_chunked_partition_count_invariance(spark):
+    """Chunked extraction output must not depend on the chunk-spread
+    partition count (the determinism property the scaling protocol needs)."""
+    from texteller_spark.plans.pipeline import extract_pages_chunked
+    from texteller_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, 24, partitions=3)
+    a = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages_chunked(pages, 1000, partitions=2).collect()
+    }
+    b = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages_chunked(pages, 1000, partitions=16).collect()
+    }
+    assert a == b

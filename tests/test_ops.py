@@ -284,3 +284,18 @@ def test_multimodal_require_real_raises_without_codecs():
     if not _HAVE_PIL:
         with pytest.raises(NotImplementedError):
             _decode_stub(b"x", "image", True)
+
+
+def test_dedup_pairs_partition_invariant(spark):
+    """LSH pair sets must be identical under any input partitioning —
+    signatures are pure per-row functions and band joins are set-semantics."""
+    from texteller_spark.operators.dedup import minhash_lsh_pairs, release_caches
+
+    rows = [(i, f"shared words number {i // 2} " + "pad " * 15) for i in range(30)]
+    base = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = []
+    for parts in (2, 13):
+        pairs = minhash_lsh_pairs(base.repartition(parts), threshold=0.5)
+        got.append({(r["id_a"], r["id_b"]) for r in pairs.collect()})
+        release_caches()
+    assert got[0] == got[1] and got[0]
