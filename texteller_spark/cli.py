@@ -21,7 +21,13 @@ from .sources.pages import pages_df
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description="texteller_spark extraction job")
-    ap.add_argument("--input", help="pages table path (parquet dir)")
+    ap.add_argument("--input", help="pages table path (parquet dir or WARC shard dir)")
+    ap.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="'warc' scans *.warc/*.warc.gz shards (Common-Crawl native form)",
+    )
     ap.add_argument("--synth", type=int, default=0, help="generate N synthetic pages instead")
     ap.add_argument("--output", required=True, help="output dir (extracted + _metrics)")
     ap.add_argument("--run-id", default="run0")
@@ -42,11 +48,14 @@ def main(argv: list[str] | None = None) -> None:
     else:
         ship_package(spark)
 
-    pages = (
-        pages_df(spark, args.synth)
-        if args.synth
-        else spark.read.parquet(args.input)
-    )
+    if args.synth:
+        pages = pages_df(spark, args.synth)
+    elif args.input_format == "warc":
+        from .sources.warc import read_pages_warc
+
+        pages = read_pages_warc(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
     if args.resume:
         pages = resume_pending(pages, args.output)
     out = (
