@@ -201,6 +201,8 @@ def test_textops_values(spark):
         textops.bpe_ish_token_count(F.col("text")).alias("bpe"),
     ).collect()
     assert [r["tok"] for r in got] == [6, 0, 6]
+    zh = spark.createDataFrame([("这是一个中文测试句子 with some latin",)], ["text"])
+    assert zh.select(textops.lang_id(F.col("text")).alias("l")).head()["l"] == "zh"
     assert got[0]["lang"] == "en" and got[2]["lang"] == "de"
     assert got[0]["bpe"] == 7  # 6 words + 1 period
     assert got[1]["bpe"] == 0

@@ -53,7 +53,11 @@ def _stop_hits(words: Column, stops: tuple[str, ...]) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """Stopword-voting language heuristic → 'en' | 'de' | 'es' | 'unk'."""
+    """Language heuristic → 'zh' | 'en' | 'de' | 'es' | 'unk'. CJK script
+    detection first (>5% Han characters — the reference's OCR is en/zh,
+    README.md:99-101), then stopword voting for the Latin-script languages.
+    Pure JVM expressions; mirrored exactly by the DuckDB oracle."""
+    han = F.length(F.regexp_replace(text, "[^一-鿿]", ""))
     words = F.split(F.lower(text), r"\s+")
     en, de, es = (
         _stop_hits(words, STOPWORDS_EN),
@@ -61,7 +65,8 @@ def lang_id(text: Column) -> Column:
         _stop_hits(words, _STOP_ES),
     )
     return (
-        F.when((en >= de) & (en >= es) & (en > 0), F.lit("en"))
+        F.when(han * 20 > F.greatest(F.length(text), F.lit(1)), F.lit("zh"))
+        .when((en >= de) & (en >= es) & (en > 0), F.lit("en"))
         .when((de >= es) & (de > 0), F.lit("de"))
         .when(es > 0, F.lit("es"))
         .otherwise(F.lit("unk"))

@@ -680,6 +680,8 @@ def q_lang_id(spark, sf):
 _SQL_LANG_ID = """
 WITH scored AS (
   SELECT
+    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS han,
+    length(text) AS n_chars_t,
     len(list_filter(str_split_regex(lower(text), '\\s+'),
         w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS en,
     len(list_filter(str_split_regex(lower(text), '\\s+'),
@@ -688,7 +690,8 @@ WITH scored AS (
         w -> w IN ('el','la','los','de','que','y','es'))) AS es
   FROM documents
 )
-SELECT CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+SELECT CASE WHEN han * 20 > greatest(n_chars_t, 1) THEN 'zh'
+            WHEN en >= de AND en >= es AND en > 0 THEN 'en'
             WHEN de >= es AND de > 0 THEN 'de'
             WHEN es > 0 THEN 'es' ELSE 'unk' END AS pred_lang,
        CAST(COUNT(*) AS BIGINT) AS n
