@@ -74,18 +74,32 @@ def build_warc(
 
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Walk per-record gzip members; a corrupt member ends the walk for this
-    shard (row-wise degradation — prior members already yielded)."""
+    shard (row-wise degradation — prior members already yielded). The
+    buffer is walked through a memoryview — a Common-Crawl shard holds
+    ~10^5 members, and slicing bytes per member would copy the remaining
+    buffer each time (quadratic in shard size)."""
+    mv = memoryview(data)
+    n = len(data)
+    chunk_size = 1 << 20
     pos = 0
-    while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+    while pos < n and bytes(mv[pos : pos + 2]) == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out = []
+        p = pos
         try:
-            yield d.decompress(data[pos:])
+            # feed ≤1 MiB chunks until the member ends: unused_data then
+            # holds only the tail of the LAST chunk (O(chunk), not
+            # O(remaining shard) per member)
+            while not d.eof and p < n:
+                piece = mv[p : p + chunk_size]
+                out.append(d.decompress(piece))
+                p += len(piece)
         except zlib.error:
             return
-        rest = d.unused_data
-        if not rest:
-            return
-        pos = len(data) - len(rest)
+        if not d.eof:
+            return  # truncated final member
+        yield b"".join(out)
+        pos = p - len(d.unused_data)
 
 
 def parse_warc(data: bytes) -> list[dict]:
