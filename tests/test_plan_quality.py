@@ -161,6 +161,19 @@ def test_no_row_at_a_time_python_in_any_catalog_plan(spark, Q):
         assert "BatchEvalPython" not in p, name
 
 
+def test_training_prep_has_no_join_and_no_broadcast(spark, Q):
+    """p8 scale shape: the dedup survivor is a window over digest, NOT a
+    join against a broadcast dup-set (an O(corpus) broadcast at web-scale
+    dup rates — the round-2 verdict's #1 scale-killer). Exactly two hash
+    exchanges: the digest window + the split groupBy."""
+    p = plan_of(Q.q_training_prep(spark, SF))
+    assert "Join" not in p
+    assert "BroadcastExchange" not in p
+    assert p.count("Exchange hashpartitioning") == 2
+    # the shuffle carries narrow derived columns, never the text payload
+    assert "WindowGroupLimit" in p or "Window" in p
+
+
 def test_span_queries_keep_scan_pruned(spark, Q):
     # metric-only queries over documents must not drag the full text column
     # through a shuffle: the scan projects, the agg is partial+final

@@ -824,21 +824,16 @@ def q_training_prep(spark, sf):
     layout-independent salted-hash 90/10 split → per-split counts + mean
     quality. Each stage is an already-oracled operator; this entry pins
     their COMPOSITION (the shape a real corpus-prep job runs). Scale
-    posture: the dedup side joins only (digest, keep_id) — never text —
-    and the filter/split are scan-level column expressions."""
-    d = _t(spark, sf, "documents").withColumn("digest", F.md5("text"))
-    dups = exact_duplicate_groups(_t(spark, sf, "documents"), "text").select(
-        "digest", "keep_id"
-    )
-    kept = d.join(F.broadcast(dups), "digest", "left").filter(
-        F.col("keep_id").isNull() | (F.col("doc_id") == F.col("keep_id"))
-    )
+    posture: every text-derived column (digest, quality, token count,
+    split bucket) is computed AT THE SCAN, so the dedup shuffle carries
+    only narrow columns — never the text payload — and the survivor is
+    chosen with ``row_number() over (partition by digest order by
+    doc_id)``: one hash shuffle on the 32-char digest, no join and no
+    broadcast. (A broadcast of the dup-set — the round-2 form — is an
+    O(corpus) driver/executor OOM at web-scale dup rates of 30-60%.)"""
+    d = _t(spark, sf, "documents")
     q = textops.quality_score(F.col("text"))
-    admitted = kept.filter(
-        (q >= 0.5)
-        & (textops.token_count(F.col("text")) >= 5)
-        & (textops.token_count(F.col("text")) < 1014)
-    )
+    n_tok = textops.token_count(F.col("text"))
     bucket = (
         F.conv(
             F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))), 1, 8),
@@ -847,16 +842,22 @@ def q_training_prep(spark, sf):
         ).cast("long")
         % 10
     )
-    return (
-        admitted.select(
-            F.when(bucket < 9, F.lit("train")).otherwise(F.lit("val")).alias("split"),
-            q.alias("_q"),
-        )
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("_q"), 3).alias("avg_quality"),
-        )
+    narrow = d.select(
+        F.md5("text").alias("digest"),
+        F.col("doc_id"),
+        q.alias("_q"),
+        n_tok.alias("_n_tok"),
+        F.when(bucket < 9, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+    survivor = Window.partitionBy("digest").orderBy("doc_id")
+    admitted = (
+        narrow.withColumn("_rn", F.row_number().over(survivor))
+        .filter(F.col("_rn") == 1)
+        .filter((F.col("_q") >= 0.5) & (F.col("_n_tok") >= 5) & (F.col("_n_tok") < 1014))
+    )
+    return admitted.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_q"), 3).alias("avg_quality"),
     )
 
 
