@@ -117,6 +117,19 @@ def test_lsh_near_dup_is_bucket_equijoin_not_cartesian(spark, Q):
     assert "Join" in p  # it IS a join — a hash equi-join on the band keys
 
 
+def test_ann_join_is_band_equijoin_with_windowgrouplimit(spark, Q):
+    """Bulk ANN join plan shape: candidates come from a hash equi-join on
+    the band keys (never cartesian / broadcast-nested-loop), the exact
+    cosine stays JVM-side, and the per-query top-k pushes down to
+    WindowGroupLimit (partial per-map-task top-k before the shuffle)."""
+    p = plan_of(Q.q_ann_join(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p  # band kernel is Arrow, cosine is JVM
+
+
 def test_lsh_plane_sign_margins_are_engine_safe(spark, Q):
     """Bucket membership is engine-independent only if no |plane . v| is
     within float-summation noise of zero. Pin a 1e-9 floor (observed ~3e-4

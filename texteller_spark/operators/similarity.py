@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.window import Window
 
 __all__ = [
     "cosine_to_query",
@@ -31,6 +32,7 @@ __all__ = [
     "with_lsh_bucket",
     "with_lsh_bands",
     "lsh_topk",
+    "ann_join",
     "embedding_near_dup_pairs",
     "lsh_near_dup_pairs",
     "plane_matrix",
@@ -252,6 +254,99 @@ def lsh_near_dup_pairs(
         cand.withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), round_digits))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(id, vec, norm) projection with the zero-norm guard (a zero vector
+    yields NaN cosine, which Spark orders above everything)."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias(f"_v_{out_id}"),
+        norm.alias(f"_n_{out_id}"),
+    ).filter(F.col(f"_n_{out_id}") > 0)
+
+
+def ann_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 16,
+    bands: int = 4,
+    query_id_col: str = "vec_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Bulk ANN join (set-vs-set top-k): for EVERY vector in ``queries_df``,
+    its approximate ``k`` nearest neighbors in ``corpus_df`` by cosine —
+    the decontamination-join shape a training-data pipeline actually runs
+    (benchmark eval-set vs training corpus, cross-crawl near-dup vs a
+    reference set). ``lsh_topk`` handles one query vector; this is its
+    table-valued composition — the reference analog is batched recognition
+    over MANY crops at once rather than one crop per call
+    (``/root/reference/src/models/thrid_party/paddleocr/infer/
+    predict_rec.py:333-383``).
+
+    Plan shape (pinned in tests — no cartesian anywhere):
+
+    * both sides get the SAME seeded hyperplane band signature
+      (:func:`with_lsh_bands` — one Arrow numpy kernel per side, O(dim·bits)
+      per row);
+    * ``posexplode(bands)`` each side → hash equi-join on
+      ``(band_id, band_val)`` — the shuffle moves (id, band, vector) rows,
+      and candidates per query are bounded by bucket size, not corpus size;
+    * exact JVM ``zip_with`` cosine on the candidates (admission is never a
+      false positive — banding only bounds recall);
+    * per-query top-k via ``row_number() <= k``, which Catalyst plans as
+      WindowGroupLimit (partial per-map-task top-k BEFORE the shuffle — the
+      same pushdown the k1 catalog entry pins).
+
+    Ranking uses the ROUNDED cosine (then neighbor id) so the emitted set
+    is deterministic across partitionings and engines. Returns
+    ``(query_id, neighbor_id, rnk, cosine)``.
+
+    At 10^12 corpus rows: the corpus band signature is a once-per-corpus
+    artifact worth checkpointing to a table (the signature-stage pattern of
+    ``dedup.minhash_lsh_pairs``); each side here is scanned once, so no
+    in-plan materialization is required.
+    """
+    qn = _with_norm(queries_df, query_id_col, vec_col, "query_id")
+    cn = _with_norm(corpus_df, corpus_id_col, vec_col, "neighbor_id")
+    qb = with_lsh_bands(qn, dim, bits, bands, f"_v_query_id").select(
+        "query_id", "_v_query_id", "_n_query_id",
+        F.posexplode("bands").alias("band_id", "band_val"),
+    )
+    cb = with_lsh_bands(cn, dim, bits, bands, f"_v_neighbor_id").select(
+        "neighbor_id", "_v_neighbor_id", "_n_neighbor_id",
+        F.posexplode("bands").alias("band_id", "band_val"),
+    )
+    cand = qb.join(cb, on=["band_id", "band_val"]).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_v_query_id"), F.col("_v_neighbor_id"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(dot / (F.col("_n_query_id") * F.col("_n_neighbor_id")), round_digits)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
     )
 
 

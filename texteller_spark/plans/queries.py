@@ -1156,6 +1156,64 @@ LIMIT {k}
 """
 
 
+def q_ann_join(spark, sf):
+    """Bulk ANN / decontamination join: every query vector (vec_id < 20 —
+    the benchmark-eval-set analog) gets its top-5 LSH-bucketed cosine
+    neighbors in the rest of the corpus (vec_id >= 20). Band equi-join,
+    exact JVM cosine, per-query top-k via WindowGroupLimit — the set-vs-set
+    similarity-search shape a training-data pipeline runs at 10^12 rows
+    (the r2 verdict's #1 missing operator)."""
+    from ..operators.similarity import ann_join
+
+    e = _t(spark, sf, "embeddings")
+    return ann_join(
+        e.filter(F.col("vec_id") < 20),
+        e.filter(F.col("vec_id") >= 20),
+        dim=_EMB_DIM,
+        k=5,
+        bits=16,
+        bands=4,
+    )
+
+
+def _ann_join_sql(bits: int = 16, band_width: int = 4, k: int = 5) -> str:
+    """Recompute the bulk ANN join in SQL from the identical literal plane
+    coefficients: band signatures for both sides, band equi-join for
+    candidates, exact cosine, row_number top-k with the same
+    (rounded-cosine DESC, neighbor_id) tiebreak."""
+    return f"""
+WITH dots AS (
+  SELECT e.vec_id, p.plane_id,
+         list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), p.coef) AS d
+  FROM embeddings e, {_planes_values_sql(bits)}
+), sig AS (
+  SELECT vec_id, plane_id // {band_width} AS band_id,
+         CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << (plane_id % {band_width})) ELSE 0 END)
+              AS BIGINT) AS band_val
+  FROM dots GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.band_id = c.band_id AND q.band_val = c.band_val
+  WHERE q.vec_id < 20 AND c.vec_id >= 20
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(CAST(list_cosine_similarity(
+           list_transform(eq.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(ec.embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE), 4) AS cosine
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.query_id
+  JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+  WHERE NOT isnan(list_cosine_similarity(eq.embedding, ec.embedding))
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk, cosine
+FROM ranked WHERE rn <= {k}
+"""
+
+
 def q_rank_frames(spark, sf):
     """W-family frame specs: rank() per user by value, plus a 3-row moving
     average over event time (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) —
@@ -1677,6 +1735,7 @@ QUERIES = {
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "sim_ann_lsh": q_ann_lsh,
+    "sim_ann_join": q_ann_join,
     "mm_media_features": q_media_features,
     "mm_media_frames": q_media_frames,
     "mm_media_resize": q_media_resize,
@@ -1721,6 +1780,7 @@ ORACLES = {
     "dedup_embedding_cosine": _SQL_EMB_NEAR_DUP,
     "dedup_embedding_lsh": _emb_lsh_sql(),
     "sim_ann_lsh": _ann_lsh_sql(),
+    "sim_ann_join": _ann_join_sql(),
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
