@@ -76,6 +76,10 @@ def _build(
     return (
         builder.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        # WARC-Date is UTC by spec; pinning the session tz makes every
+        # timestamp derived from crawl data host-timezone-independent
+        # (naive-UTC datetimes from the WARC parser land unchanged)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

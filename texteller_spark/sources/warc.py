@@ -14,8 +14,17 @@ follows the HTTP header block.
 Spark shape: ``binaryFile`` scan (one row per shard; Common-Crawl shards
 are ~1 GB, the natural distribution unit — file-granular parallelism, no
 shuffle) → ``mapInPandas`` record parser → pages rows. Malformed records
-degrade row-wise, never task-wise (truncated tails and corrupt members are
-skipped — real crawl archives contain both).
+degrade row-wise, never task-wise: a corrupt gzip member is skipped by
+resyncing to the next gzip magic, truncated tails are dropped, and all
+records after a corruption are still yielded — real crawl archives contain
+all of these.
+
+Memory posture: because each Common-Crawl record is its own gzip member,
+records are parsed member-by-member (never a joined decompressed stream),
+and ``read_pages_warc`` emits output rows in bounded batches — resident
+memory per task is the raw shard bytes (held by binaryFile regardless)
+plus ONE decompressed record and one output batch, not the ~3-5 GB a
+fully-decompressed 1 GB shard would occupy.
 
 The writer exists for tests and corpus prep (seeded synthetic corpus →
 valid WARC bytes → round-trip byte-identity, pinned in
@@ -40,7 +49,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..schema import PAGES_SCHEMA
 
-__all__ = ["build_warc", "parse_warc", "read_pages_warc"]
+__all__ = ["build_warc", "parse_warc", "iter_warc_records", "read_pages_warc"]
+
+#: rows per emitted Arrow batch in read_pages_warc — bounds task-resident
+#: output memory at (batch × avg record) instead of (whole shard's records)
+_OUT_BATCH_ROWS = 2048
 
 _CRLF = b"\r\n"
 
@@ -72,17 +85,31 @@ def build_warc(
     return out.getvalue()
 
 
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
 def _gzip_members(data: bytes) -> Iterator[bytes]:
-    """Walk per-record gzip members; a corrupt member ends the walk for this
-    shard (row-wise degradation — prior members already yielded). The
-    buffer is walked through a memoryview — a Common-Crawl shard holds
+    """Walk per-record gzip members, one decompressed member at a time.
+
+    The buffer is walked through a memoryview — a Common-Crawl shard holds
     ~10^5 members, and slicing bytes per member would copy the remaining
-    buffer each time (quadratic in shard size)."""
+    buffer each time (quadratic in shard size). A corrupt member is skipped
+    by scanning forward for the next gzip magic (``\\x1f\\x8b``) and
+    resuming there — row-wise degradation: every later intact member is
+    still yielded. (A false magic inside corrupt compressed bytes just
+    fails fast on its own ``zlib.error`` and resyncs again — the scan
+    always advances.) Only a truncated FINAL member ends the walk."""
     mv = memoryview(data)
     n = len(data)
     chunk_size = 1 << 20
     pos = 0
-    while pos < n and bytes(mv[pos : pos + 2]) == b"\x1f\x8b":
+    while pos < n:
+        if bytes(mv[pos : pos + 2]) != _GZIP_MAGIC:
+            nxt = data.find(_GZIP_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         out = []
         p = pos
@@ -95,22 +122,38 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
                 out.append(d.decompress(piece))
                 p += len(piece)
         except zlib.error:
-            return
+            # corrupt member: resync at the next magic after this one
+            nxt = data.find(_GZIP_MAGIC, pos + 2)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         if not d.eof:
             return  # truncated final member
         yield b"".join(out)
         pos = p - len(d.unused_data)
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """WARC bytes (gzip-member or plain concatenation) → list of
-    ``{url, warc_ts, html}`` for response records. Total: malformed records
+def _parse_warc_date(s: str) -> datetime.datetime | None:
+    """WARC-Date → naive UTC datetime (WARC dates are UTC by spec; WARC 1.1
+    allows fractional seconds). Emitting naive-UTC + pinning
+    ``spark.sql.session.timeZone=UTC`` in session.py makes the resulting
+    timestamps host-timezone-independent."""
+    if not s:
+        return None
+    try:
+        dt = datetime.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def _parse_records(stream: bytes) -> Iterator[dict]:
+    """One WARC stream (a single decompressed gzip member, or a plain
+    uncompressed concatenation) → response-record dicts. Malformed records
     are skipped, never raised."""
-    if data[:2] == b"\x1f\x8b":
-        stream = b"".join(_gzip_members(data))
-    else:
-        stream = data
-    rows: list[dict] = []
     pos = 0
     n = len(stream)
     while pos < n:
@@ -136,31 +179,49 @@ def parse_warc(data: bytes) -> list[dict]:
         url = headers.get("warc-target-uri")
         if not url:
             continue
-        try:
-            ts = datetime.datetime.strptime(
-                headers.get("warc-date", ""), "%Y-%m-%dT%H:%M:%SZ"
-            )
-        except ValueError:
-            ts = None
         http_end = payload.find(_CRLF + _CRLF)
         html = payload[http_end + 4 :] if http_end >= 0 else payload
-        rows.append({"url": url, "warc_ts": ts, "html": html})
-    return rows
+        yield {"url": url, "warc_ts": _parse_warc_date(headers.get("warc-date", "")), "html": html}
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """WARC bytes (gzip-member or plain concatenation) → lazy iterator of
+    ``{url, warc_ts, html}`` response records.
+
+    Record-granular: in Common Crawl's storage form each gzip member IS one
+    record, so members are decompressed and parsed ONE AT A TIME — peak
+    memory is bounded by the largest record, never the decompressed shard
+    (1 GB shards hold ~3-5 GB decompressed). Corrupt members resync (see
+    ``_gzip_members``); a member holding several records still parses them
+    all."""
+    if data[:2] == _GZIP_MAGIC:
+        for member in _gzip_members(data):
+            yield from _parse_records(member)
+    else:
+        yield from _parse_records(data)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Eager form of :func:`iter_warc_records` (tests / small inputs)."""
+    return list(iter_warc_records(data))
 
 
 def read_pages_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """Scan ``*.warc`` / ``*.warc.gz`` shards into the authoritative pages
     shape. One task per shard (binaryFile split = whole file); ``text`` and
     ``lang`` are unknown at scan time (null) — exactly what
-    ``extract_pages`` consumes."""
+    ``extract_pages`` consumes. Output rows stream out in bounded batches
+    (``_OUT_BATCH_ROWS``): the task never materializes a whole shard's
+    records at once."""
     files = spark.read.format("binaryFile").load(path_glob)
+    cols = ["url", "warc_ts", "html", "text", "lang"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list[dict] = []
         for pdf in batches:
-            out = []
             for content in pdf["content"]:
-                for r in parse_warc(bytes(content)):
-                    out.append(
+                for r in iter_warc_records(bytes(content)):
+                    buf.append(
                         {
                             "url": r["url"],
                             "warc_ts": r["warc_ts"],
@@ -169,8 +230,9 @@ def read_pages_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                             "lang": None,
                         }
                     )
-            yield pd.DataFrame(
-                out, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
+                    if len(buf) >= _OUT_BATCH_ROWS:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+        yield pd.DataFrame(buf, columns=cols)
 
     return files.select("content").mapInPandas(run, schema=PAGES_SCHEMA)
