@@ -1,8 +1,12 @@
 """Unit tests for MathML transliteration, text analysis, dedup, similarity,
 multimodal plumbing."""
 
+import re
+
 import numpy as np
 import pytest
+from hypothesis import given
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from texteller_spark.functions.mathml import mathml_to_latex
@@ -98,6 +102,65 @@ def test_k3_decode_length_cap():
 
     long_text = "word " * 20000
     assert len(recognize_span("text", long_text)) > MAX_REC_CHARS
+
+
+def _unclosed_openers(s: str) -> int:
+    """Count of unclosed ``{`` at end-of-string (stray closers clamp at 0:
+    they are inherited recognizer content, not introduced by a cut);
+    -1 if the string ends mid-escape (a dangling ``\\``)."""
+    depth = 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\":
+            if i + 1 >= len(s):
+                return -1
+            i += 2
+            while i < len(s) and s[i - 1].isalpha() and s[i].isalpha():
+                i += 1
+            continue
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth = max(0, depth - 1)
+        i += 1
+    return depth
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            list("\\{}abxyz +^_$") + ["\\frac", "\\tag{", "\\alpha}", "{x}"]
+        ),
+        max_size=60,
+    ).map("".join)
+)
+def test_k3_cap_cuts_at_token_safe_boundary(body):
+    """Property (r2 verdict 'What's wrong' #3): a cap hit must never emit
+    output that ends inside a \\command name / escaped pair or with
+    unbalanced braces — capped output stays parseable LaTeX."""
+    from texteller_spark.operators.recognize import _cap_decode
+
+    s = body * 8
+    for cap in (5, 16, 37):
+        out = _cap_decode(s, max_chars=cap)
+        if len(s) <= cap:
+            assert out == s  # under-cap inputs pass through untouched
+            continue
+        # a truncated output must be a parseable prefix
+        assert len(out) <= cap
+        assert out == s[: len(out)]
+        assert _unclosed_openers(out) == 0, (s, cap, out)
+        # never ends mid-command: if the cut ends in a \command's letter
+        # run (odd number of backslashes right before the letters — an even
+        # run is escaped backslashes followed by plain text), the source
+        # must not continue with another letter
+        m = re.search(r"([a-zA-Z]+)$", out)
+        if m:
+            head = out[: m.start()]
+            n_bs = len(head) - len(head.rstrip("\\"))
+            if n_bs % 2 == 1:
+                assert not s[len(out)].isalpha(), (s, cap, out)
 
 
 # --- Spark-level operator tests ---------------------------------------------

