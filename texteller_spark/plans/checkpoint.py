@@ -12,6 +12,10 @@ North-rule requirements: "per-partition lineage and counters are checkpointed
   this is ``pages.join(done, 'url', 'left_anti')`` against the snapshot-
   isolated output table; parquet in-sandbox, same plan shape.
 
+All reads/writes route through the :mod:`..plans.io` seam —
+``SPARK_GRAFT_TABLE_FORMAT=iceberg`` switches the sinks to
+``writeTo().append()`` catalog tables with no code change here.
+
 The anti-join broadcasts when the done-set is small and degrades to a
 shuffled join at scale — Catalyst/AQE pick the strategy; at 10^12 rows the
 done-set lives in the same bucketed layout as the input so the join is
@@ -22,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .io import append_table, read_table, table_target
 
 __all__ = ["stage_metrics", "write_extracted", "resume_pending", "read_done_urls"]
 
@@ -41,18 +47,17 @@ def stage_metrics(df: DataFrame, stage: str, bytes_col: str | None = None) -> Da
 
 
 def write_extracted(extracted: DataFrame, out_dir: str, run_id: str) -> None:
-    """Append the extraction output + metrics (Iceberg: ``writeTo().append()``;
-    parquet append in-sandbox)."""
-    extracted.write.mode("append").parquet(f"{out_dir}/extracted")
+    """Append the extraction output + metrics through the IO seam
+    (parquet path in-sandbox; ``writeTo().append()`` under
+    ``SPARK_GRAFT_TABLE_FORMAT=iceberg``)."""
+    append_table(extracted, table_target(out_dir, "extracted"))
     m = stage_metrics(extracted, f"assemble:{run_id}", bytes_col="extracted_text")
-    m.write.mode("append").parquet(f"{out_dir}/_metrics")
+    append_table(m, table_target(out_dir, "_metrics"))
 
 
 def read_done_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(f"{out_dir}/extracted").select("url")
-    except Exception:
-        return None
+    done = read_table(spark, table_target(out_dir, "extracted"))
+    return None if done is None else done.select("url")
 
 
 def resume_pending(pages: DataFrame, out_dir: str) -> DataFrame:
