@@ -146,11 +146,31 @@ def test_spark_chunked_pipeline_matches_flagship(spark):
     # span payloads match on semantic fields too
     sflag = extract_pages(pages).select(
         "url", F.explode("spans").alias("s")
-    ).select("url", "s.kind", "s.char_start", "s.char_end", "s.raw", "s.content")
+    ).select("url", "s.span_id", "s.kind", "s.char_start", "s.char_end", "s.raw", "s.content")
     schunk = extract_pages_chunked(pages, max_chunk_chars=1000).select(
         "url", F.explode("spans").alias("s")
-    ).select("url", "s.kind", "s.char_start", "s.char_end", "s.raw", "s.content")
+    ).select("url", "s.span_id", "s.kind", "s.char_start", "s.char_end", "s.raw", "s.content")
     assert sorted(map(tuple, sflag.collect())) == sorted(map(tuple, schunk.collect()))
+
+
+def test_assembled_span_ids_are_dense_ordinals(spark):
+    """EXTRACTED_SCHEMA contract: assembled output carries dense 0-based
+    span_id regardless of path — the chunked path's offset-rebased ids are
+    re-densified at assembly (ADVICE pipeline.py:214), so a mixed
+    flagship/chunked table never breaks ordinal consumers."""
+    from pyspark.sql import functions as F
+
+    from texteller_spark.plans.pipeline import extract_pages_chunked
+    from texteller_spark.sources.pages import pages_df
+
+    out = extract_pages_chunked(pages_df(spark, 12, partitions=2), 800)
+    bad = out.select(
+        F.exists(
+            F.transform("spans", lambda s, i: s["span_id"] == i),
+            lambda ok: ~ok,
+        ).alias("any_sparse")
+    ).filter("any_sparse")
+    assert bad.count() == 0
 
 
 def test_chunked_partition_count_invariance(spark):

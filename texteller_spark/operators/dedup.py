@@ -27,7 +27,10 @@ which puts the whole LSH family under the driver's value-exact check.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
+import os
+import threading
 from functools import lru_cache
 from typing import Iterator
 
@@ -46,29 +49,56 @@ __all__ = [
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
     "release_caches",
+    "signature_cache",
 ]
 
+#: per-Python-worker string-hash memo size (entries, not bytes). Worst-case
+#: resident cost per worker ≈ entries × (key chars + ~100B overhead) — the
+#: 2^20 default is a few hundred MB at adversarial vocab, fine at 128 GiB
+#: hosts; set TEXTELLER_HASH_CACHE_SIZE lower for memory-tight executors
+#: (0 disables memoization entirely).
+_HASH_CACHE_SIZE = int(os.environ.get("TEXTELLER_HASH_CACHE_SIZE", str(1 << 20)))
+
 #: live persisted signature handles (see _materialize) — callers own the
-#: lifetime: call release_caches() once the pair DataFrames are consumed
+#: lifetime: call release_caches() once the pair DataFrames are consumed,
+#: or wrap consumption in ``with signature_cache(): ...``
 _CACHED: list = []
+_CACHED_LOCK = threading.Lock()
 
 
 def _materialize(df: DataFrame) -> DataFrame:
     """Persist + eagerly count a signature stage so a self-join reads the
     cache instead of re-executing the Arrow kernel per side. The handle is
     tracked in ``_CACHED``; repeated calls (bench reps, test loops) must
-    ``release_caches()`` between uses or cache entries accumulate for the
-    session lifetime."""
+    ``release_caches()`` between uses (or build pairs inside ``with
+    signature_cache():``) or cache entries accumulate for the session
+    lifetime."""
     out = df.persist()
     out.count()  # eager: both join sides must read the cache, not race to fill it
-    _CACHED.append(out)
+    with _CACHED_LOCK:
+        _CACHED.append(out)
     return out
 
 
 def release_caches() -> None:
     """Unpersist every signature stage materialized by the pair builders."""
-    while _CACHED:
-        _CACHED.pop().unpersist()
+    with _CACHED_LOCK:
+        cached, _CACHED[:] = _CACHED[:], []
+    for df in cached:
+        df.unpersist()
+
+
+@contextlib.contextmanager
+def signature_cache():
+    """Scope the persisted signature stages of any pair builders invoked
+    inside the block: ``with signature_cache(): pairs.collect()`` — the
+    stages unpersist on exit even on error. Library callers who skip both
+    this and :func:`release_caches` accumulate persisted DataFrames for the
+    session lifetime."""
+    try:
+        yield
+    finally:
+        release_caches()
 
 _MERSENNE = (1 << 61) - 1
 _N_HASHES = 64
@@ -82,10 +112,11 @@ _A = _rng.randint(1, 1 << 31, size=_N_HASHES, dtype=np.int64)
 _B = _rng.randint(0, 1 << 31, size=_N_HASHES, dtype=np.int64)
 
 
-@lru_cache(maxsize=1 << 20)
+@lru_cache(maxsize=_HASH_CACHE_SIZE)  # maxsize=0 disables memoization
 def _hash32(s: str) -> int:
     """32-bit deterministic string hash = first 8 hex chars of md5 —
-    portable across engines (SQL: CAST('0x'||substr(md5(s),1,8) AS BIGINT))."""
+    portable across engines (SQL: CAST('0x'||substr(md5(s),1,8) AS BIGINT)).
+    Memoized per worker (size: TEXTELLER_HASH_CACHE_SIZE)."""
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
@@ -127,13 +158,22 @@ def _widen(df: DataFrame) -> DataFrame:
     the signature UDF to that partition count regardless of cluster size —
     the N→4N scaling killer. Uses the source file count (a cheap listing on
     the analyzed plan — no RDD conversion) as the parallelism proxy: at real
-    scale input files ≫ cores and this is a no-op (no shuffle)."""
+    scale input files ≫ cores and this is a no-op (no shuffle).
+
+    ``n_files == 0`` means a non-file-backed plan (in-memory relation,
+    table-valued source) whose partition count Spark derives from the local
+    collection, often 1 — widen those too (the proxy's blind spot the r2
+    ADVICE flagged). Known residual: many-tiny-file scans can coalesce
+    below ``target`` via ``spark.sql.files.openCostInBytes`` packing while
+    still counting ``n_files >= target``; the 32 MB ``maxPartitionBytes``
+    in session.py keeps that gap small, and the scaling bench measures the
+    end result directly."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
-    except Exception:  # non-file-backed plan: splits already follow parallelism
+    except Exception:
         return df
-    if 0 < n_files < target:
+    if n_files < target:
         return df.repartition(target)
     return df
 
@@ -195,7 +235,11 @@ def minhash_lsh_pairs(
     raw signature slice itself (arrays are hashable join keys in Spark) —
     not a digest of it — so band membership is exactly slice equality and
     the emitted pair set matches the SQL oracle bit-for-bit (a digest
-    collision could otherwise admit a candidate the oracle never sees)."""
+    collision could otherwise admit a candidate the oracle never sees).
+
+    The signature stage stays persisted until :func:`release_caches` —
+    consume the pairs inside ``with signature_cache():`` (or call
+    ``release_caches()``) to bound session memory."""
     rows_per_band = _N_HASHES // bands
     sigs = _materialize(with_minhash(df, text_col, shingle_k).select(id_col, "minhash"))
 
@@ -222,10 +266,11 @@ def minhash_lsh_pairs(
     )
 
 
-@lru_cache(maxsize=1 << 20)
+@lru_cache(maxsize=_HASH_CACHE_SIZE)  # maxsize=0 disables memoization
 def _tok_hash64(t: str) -> int:
     """64-bit token hash from two md5 32-bit prefixes (lo = hex[0:8],
-    hi = hex[8:16]) — bit-for-bit recomputable in SQL."""
+    hi = hex[8:16]) — bit-for-bit recomputable in SQL. Memoized per worker
+    (size: TEXTELLER_HASH_CACHE_SIZE)."""
     h = hashlib.md5(t.encode()).hexdigest()
     return int(h[:8], 16) | (int(h[8:16], 16) << 32)
 
@@ -264,7 +309,9 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 16-bit-chunk
     banding (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks identical).
-    Same materialize-once bucket-join strategy as MinHash."""
+    Same materialize-once bucket-join strategy (and the same
+    ``signature_cache()``/``release_caches()`` lifetime contract) as
+    MinHash."""
     sigs = _materialize(
         with_simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
     )

@@ -204,6 +204,10 @@ def lsh_near_dup_pairs(
     (plan-pinned in tests). The reference analog is bounded-batch
     recognition (predict_rec.py:339-363): work per unit is capped by
     construction.
+
+    The signature stage stays persisted until ``dedup.release_caches()`` —
+    consume the pairs inside ``with dedup.signature_cache():`` to bound
+    session memory.
     """
     from .dedup import _materialize
 

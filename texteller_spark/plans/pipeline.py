@@ -96,7 +96,15 @@ def recognize_stage(spans: DataFrame) -> DataFrame:
 
 
 def assemble_stage(recognized: DataFrame) -> DataFrame:
-    """Recognized spans → one row per url with ordered spans + final text."""
+    """Recognized spans → one row per url with ordered spans + final text.
+
+    ``span_id`` is RE-DENSIFIED to the 0-based position in the sorted array
+    (a free ``transform`` — no shuffle), so assembled output always carries
+    dense ordinal ids regardless of which path produced the spans: the
+    chunked path rebases ids by char offset (sparse but order-preserving),
+    and without this a mixed flagship/chunked output table (CLI ``--resume``
+    can interleave both) would break consumers that index by ``span_id``.
+    """
     # collect_list skips nulls → span-less urls yield spans=[] and text="".
     return (
         recognized.groupBy("url")
@@ -109,6 +117,17 @@ def assemble_stage(recognized: DataFrame) -> DataFrame:
                     )
                 )
             ).alias("spans")
+        )
+        .withColumn(
+            "spans",
+            F.transform(
+                "spans",
+                lambda s, i: F.struct(
+                    i.cast("int").alias("span_id"),
+                    *[s[c].alias(c) for c in _SPAN_COLS[1:]],
+                    s["content"].alias("content"),
+                ),
+            ),
         )
         .withColumn("extracted_text", assemble_udf(F.col("spans")))
     )

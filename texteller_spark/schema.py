@@ -30,6 +30,13 @@ PAGES_SCHEMA = T.StructType(
     ]
 )
 
+#: id semantics (uniform across the flagship, chunked, and span-table
+#: paths): ``span_id`` orders spans within a url and, in any ASSEMBLED
+#: output (EXTRACTED_SCHEMA), is re-densified to the 0-based ordinal —
+#: consumers may index by it. ``block_id`` is an opaque same-block grouping
+#: key: equal ⇔ same visual block within the url, monotonic in document
+#: order, NOT dense (the whole-doc scan skips ids for empty blocks; the
+#: chunked path rebases by char offset) — never treat it as an ordinal.
 SPAN_FIELDS = [
     T.StructField("span_id", T.IntegerType(), False),
     T.StructField("block_id", T.IntegerType(), False),
