@@ -101,6 +101,8 @@ def main() -> None:
         "text_quality": lambda: Q.q_quality(spark, SF_DIR),
         "text_bpe_tokens": lambda: Q.q_bpe_tokens(spark, SF_DIR),
         "sim_cosine_topk": lambda: Q.q_cosine_topk(spark, SF_DIR),
+        "sim_ann_join": lambda: Q.q_ann_join(spark, SF_DIR),
+        "p8_training_prep": lambda: Q.q_training_prep(spark, SF_DIR),
         "mm_media_features": lambda: Q.q_media_features(spark, SF_DIR),
     }
 

@@ -17,7 +17,9 @@ Levels are sampled in INTERLEAVED rounds (same environmental window — this
 host shows multi-minute kernel-noise drifts), median across rounds; each
 sample is itself a median-of-REPS inside bench.py after a full warmup pass.
 
-Usage: python tools/bench_cluster_scaling.py [n_docs] [rounds]
+Usage: python tools/bench_cluster_scaling.py [n_docs] [rounds] [levels]
+(``levels``: comma-separated subset of the LEVELS labels, e.g. ``1x8,2x8``
+— the headline executor-doubling pair; omit for all five.)
 Results: JSON on stdout; paste/append into BENCH.md §multi-executor.
 """
 
@@ -48,6 +50,9 @@ LEVELS = [
     ("2x8", "local-cluster[2,8,6144]", 16),
     ("4x8", "local-cluster[4,8,6144]", 32),
 ]
+if len(sys.argv) > 3:
+    wanted = set(sys.argv[3].split(","))
+    LEVELS = [lv for lv in LEVELS if lv[0] in wanted]
 
 
 def run(master: str, cores: int) -> dict:
@@ -89,10 +94,14 @@ def main() -> None:
         f"{ROUNDS} rounds x median-of-{REPS} reps, {N_DOCS} docs, warmup=2",
         "docs_per_sec": dps,
         "samples": samples,
-        "eff_1x2_to_4x2_executors_1_to_4": round(dps["4x2"] / dps["1x2"] / 4.0, 3),
-        "eff_1x8_to_2x8_executors_1_to_2": round(dps["2x8"] / dps["1x8"] / 2.0, 3),
-        "eff_1x8_to_4x8_executors_1_to_4": round(dps["4x8"] / dps["1x8"] / 4.0, 3),
     }
+    for key, num, den, factor in [
+        ("eff_1x2_to_4x2_executors_1_to_4", "4x2", "1x2", 4.0),
+        ("eff_1x8_to_2x8_executors_1_to_2", "2x8", "1x8", 2.0),
+        ("eff_1x8_to_4x8_executors_1_to_4", "4x8", "1x8", 4.0),
+    ]:
+        if num in dps and den in dps:
+            result[key] = round(dps[num] / dps[den] / factor, 3)
     print(json.dumps(result))
 
 
