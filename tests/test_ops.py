@@ -271,6 +271,57 @@ def test_textops_values(spark):
     assert got[1]["bpe"] == 0
 
 
+def test_url_ops_values(spark):
+    from texteller_spark.operators import textops
+
+    cases = [
+        # (url, host, domain, norm)
+        ("HTTPS://WWW.Example.COM:443/A/B?q=1#frag",
+         "www.example.com", "example.com", "https://www.example.com/A/B?q=1"),
+        ("http://user:pw@Sub.Shop.co.uk:80/p",
+         "sub.shop.co.uk", "shop.co.uk", "http://user:pw@sub.shop.co.uk/p"),
+        ("https://news.site.org:8080/x?",
+         "news.site.org", "site.org", "https://news.site.org:8080/x"),
+        ("https://localhost/", "localhost", "localhost", "https://localhost/"),
+        ("not a url", "", "", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], ["url"])
+    got = df.select(
+        "url",
+        textops.url_host(F.col("url")).alias("h"),
+        textops.registrable_domain(F.col("url")).alias("d"),
+        textops.url_normalize(F.col("url")).alias("n"),
+    ).collect()
+    by_url = {r["url"]: r for r in got}
+    for u, h, d, n in cases:
+        r = by_url[u]
+        assert (r["h"], r["d"], r["n"]) == (h, d, n), u
+
+
+def test_repetition_signals(spark):
+    from texteller_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            ("same sentence. same sentence. unique tail.",),
+            ("all segments differ. truly. completely.",),
+            ("",),
+            ("tokens with # and ... and … symbols",),
+        ],
+        ["text"],
+    )
+    got = df.select(
+        "text",
+        textops.dup_segment_fraction(F.col("text")).alias("dup"),
+        textops.symbol_word_ratio(F.col("text")).alias("sym"),
+    ).collect()
+    vals = {r["text"][:12]: r for r in got}
+    assert abs(vals["same sentenc"]["dup"] - 1 / 3) < 1e-9
+    assert vals["all segments"]["dup"] == 0.0
+    assert vals[""]["dup"] == 0.0 and vals[""]["sym"] == 0.0
+    assert abs(vals["tokens with "]["sym"] - 3 / 8) < 1e-9
+
+
 def test_multimodal_plumbing(spark):
     from texteller_spark.operators.multimodal import (
         attach_media,

@@ -4,8 +4,13 @@ scan speed and their filters push down.
 
 Provided: whitespace+BPE-ish token counting, language-ID heuristic
 (stopword n-gram voting), quality scoring (length/punctuation/stopword
-ratios), and content fingerprinting (md5 head digest — engine-portable,
-unlike engine-native ``hash()``).
+ratios), content fingerprinting (md5 head digest — engine-portable,
+unlike engine-native ``hash()``), URL parsing/normalization (host,
+registrable domain, canonical form — the per-host curation keys every
+crawl pipeline groups by), and Gopher-style repetition signals
+(duplicate-segment fraction, symbol-to-word ratio — the public
+repetition-filter rules from the Gopher/MassiveText papers, linear-time
+per row so they run at scan speed).
 """
 
 from __future__ import annotations
@@ -19,6 +24,11 @@ __all__ = [
     "lang_id",
     "quality_score",
     "fingerprint",
+    "url_host",
+    "registrable_domain",
+    "url_normalize",
+    "dup_segment_fraction",
+    "symbol_word_ratio",
     "STOPWORDS_EN",
 ]
 
@@ -90,6 +100,70 @@ def quality_score(text: Column) -> Column:
         + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
         + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
     )
+
+
+#: host-extraction pattern: scheme, optional userinfo, then the host label
+#: run (stops at port/path/query/fragment). Kept regex-simple so the DuckDB
+#: oracle evaluates the IDENTICAL pattern.
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+#: multi-label public suffixes recognized by the registrable-domain
+#: heuristic (the high-traffic entries; a production deployment broadcasts
+#: the full public-suffix list — the shape of the expression is unchanged)
+_TWO_LABEL_SUFFIXES = ("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br", "co.in")
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of a URL ('' when unparseable) — the key every
+    per-site curation stage (host-level dedup, domain quotas, blocklists)
+    groups on."""
+    return F.regexp_extract(F.lower(url), _HOST_RE, 1)
+
+
+def registrable_domain(url: Column) -> Column:
+    """Registrable domain (eTLD+1 heuristic): last two host labels, or
+    three when the host ends in a known two-label public suffix."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    two = F.concat_ws(".", F.slice(parts, F.greatest(n - 1, F.lit(1)), 2))
+    three = F.concat_ws(".", F.slice(parts, F.greatest(n - 2, F.lit(1)), 3))
+    is_two_label_suffix = two.isin(*_TWO_LABEL_SUFFIXES)
+    return F.when(n >= 3, F.when(is_two_label_suffix, three).otherwise(two)).otherwise(host)
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL: lowercase scheme+host, default ports (:80/:443)
+    stripped, fragment dropped, trailing '?' / lone trailing '/' on a bare
+    host removed. Deterministic string surgery only — both engines compute
+    the identical value, so normalized URLs are cross-system dedup keys."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    # lowercase scheme://host (the prefix up to the first '/', '?' past the
+    # scheme) while preserving path/query case
+    head = F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)", 1)
+    tail = F.substring(no_frag, F.length(head) + 1, F.lit(1 << 30))
+    canon_head = F.regexp_replace(F.lower(head), r":(80|443)$", "")
+    out = F.concat(canon_head, tail)
+    out = F.regexp_replace(out, r"\?$", "")
+    return F.when(F.length(head) == 0, no_frag).otherwise(out)
+
+
+def dup_segment_fraction(text: Column, sep: str = r"\.\s+") -> Column:
+    """Fraction of repeated segments (sentence-granular by default) — the
+    duplicate-line repetition rule of the public Gopher/MassiveText filters
+    projected onto single-line web text. Linear per row."""
+    segs = F.filter(F.split(F.trim(text), sep), lambda s: F.length(s) > 0)
+    n = F.size(segs)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(segs))) / n.cast("double")
+    )
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Symbol-to-word ratio (hash marks / ellipses per token) — the Gopher
+    symbol-ratio rule; high values flag navigation/boilerplate debris."""
+    syms = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), 0))
+    return syms / F.greatest(token_count(text), F.lit(1)).cast("double")
 
 
 def fingerprint(text: Column, head: int = 64) -> Column:
