@@ -56,6 +56,7 @@ def force(df) -> None:
 def main() -> None:
     from pyspark.sql import functions as F
 
+    from texteller_spark.operators import textops as T
     from texteller_spark.operators.dedup import release_caches
     from texteller_spark.plans import queries as Q
     from texteller_spark.plans.pipeline import extract_pages, extract_pages_chunked
@@ -73,6 +74,24 @@ def main() -> None:
             "overwrite"
         ).parquet(CORPUS)
     corpus = spark.read.parquet(CORPUS)
+
+    def curation_signals():
+        # full crawl-curation signal pass over the corpus in ONE scan —
+        # URL keys + quality + lang-id + repetition + fingerprint, all pure
+        # JVM column expressions (the noop sink forces every column, so
+        # nothing is pruned away); zero shuffles
+        url, text = F.col("url"), F.col("text")
+        return corpus.select(
+            T.url_host(url).alias("host"),
+            T.registrable_domain(url).alias("domain"),
+            T.url_normalize(url).alias("norm_url"),
+            T.token_count(text).alias("tokens"),
+            T.quality_score(text).alias("quality"),
+            T.lang_id(text).alias("lang_id"),
+            T.dup_segment_fraction(text).alias("dup_frac"),
+            T.symbol_word_ratio(text).alias("sym_ratio"),
+            T.fingerprint(text).alias("fp"),
+        )
 
     builders = {
         "pipeline_extract": lambda: extract_pages(corpus),
@@ -102,6 +121,7 @@ def main() -> None:
         "text_bpe_tokens": lambda: Q.q_bpe_tokens(spark, SF_DIR),
         "sim_cosine_topk": lambda: Q.q_cosine_topk(spark, SF_DIR),
         "sim_ann_join": lambda: Q.q_ann_join(spark, SF_DIR),
+        "curation_signals": curation_signals,
         "p8_training_prep": lambda: Q.q_training_prep(spark, SF_DIR),
         "mm_media_features": lambda: Q.q_media_features(spark, SF_DIR),
     }
