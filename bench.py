@@ -47,6 +47,12 @@ CORPUS = os.environ.get(
     "SPARK_GRAFT_BENCH_CORPUS",
     f"/tmp/texteller_pages_{N_DOCS}" + ("_gzip" if GZIP_HTML else ""),
 )
+#: PDF throughput corpus (north rule: "PDF/layout parse") — synthesized
+#: once from the deterministic page text (untimed), like CORPUS
+N_PDFS = int(os.environ.get("SPARK_GRAFT_BENCH_PDFS", "20000"))
+PDF_CORPUS = os.environ.get(
+    "SPARK_GRAFT_BENCH_PDF_CORPUS", f"/tmp/texteller_pdfs_{N_PDFS}"
+)
 
 
 def force(df) -> None:
@@ -75,23 +81,49 @@ def main() -> None:
         ).parquet(CORPUS)
     corpus = spark.read.parquet(CORPUS)
 
+    def ensure_pdf_corpus():
+        # one PDF per page (text re-flowed to 80-char lines), FlateDecode on
+        # even ids — generated on executors, materialized once (untimed)
+        import pandas as pd
+
+        from texteller_spark.sources.pdf import build_pdf
+
+        if os.path.exists(PDF_CORPUS):
+            return
+
+        def to_pdf(batches):
+            for pdf in batches:
+                rows = {
+                    "url": pdf["url"],
+                    "pdf": [
+                        build_pdf(
+                            [[t[i : i + 80] for i in range(0, max(len(t), 1), 80)]],
+                            compress=(j % 2 == 0),
+                        )
+                        for j, t in enumerate(pdf["text"])
+                    ],
+                }
+                yield pd.DataFrame(rows)
+
+        pages_df(spark, N_PDFS, partitions=64).select("url", "text").mapInPandas(
+            to_pdf, schema="url string, pdf binary"
+        ).write.mode("overwrite").parquet(PDF_CORPUS)
+
+    def extract_pdfs():
+        from texteller_spark.sources.pdf import make_extract_pdf_udf
+
+        pdfs = spark.read.parquet(PDF_CORPUS)
+        return pdfs.select(
+            "url", make_extract_pdf_udf()(F.col("pdf")).alias("text")
+        )
+
     def curation_signals():
         # full crawl-curation signal pass over the corpus in ONE scan —
         # URL keys + quality + lang-id + repetition + fingerprint, all pure
-        # JVM column expressions (the noop sink forces every column, so
-        # nothing is pruned away); zero shuffles
-        url, text = F.col("url"), F.col("text")
-        return corpus.select(
-            T.url_host(url).alias("host"),
-            T.registrable_domain(url).alias("domain"),
-            T.url_normalize(url).alias("norm_url"),
-            T.token_count(text).alias("tokens"),
-            T.quality_score(text).alias("quality"),
-            T.lang_id(text).alias("lang_id"),
-            T.dup_segment_fraction(text).alias("dup_frac"),
-            T.symbol_word_ratio(text).alias("sym_ratio"),
-            T.fingerprint(text).alias("fp"),
-        )
+        # JVM column expressions with shared subexpressions factored once
+        # (the noop sink forces every column, so nothing is pruned away);
+        # zero shuffles
+        return T.curation_columns(corpus)
 
     builders = {
         "pipeline_extract": lambda: extract_pages(corpus),
@@ -102,6 +134,7 @@ def main() -> None:
         # — the premium over the shuffle-free flagship buys bounded per-task
         # work when single documents are huge
         "pipeline_extract_chunked": lambda: extract_pages_chunked(corpus),
+        "pipeline_extract_pdf": extract_pdfs,
         "q1_pricing_summary": lambda: Q.q_pricing_summary(spark, SF_DIR),
         "q6_revenue_scalar": lambda: Q.q_revenue_scalar(spark, SF_DIR),
         "j2_region_rollup": lambda: Q.q_region_rollup(spark, SF_DIR),
@@ -128,6 +161,8 @@ def main() -> None:
 
     if ONLY:
         builders = {k: v for k, v in builders.items() if k in ONLY}
+    if "pipeline_extract_pdf" in builders:
+        ensure_pdf_corpus()
 
     # --- warmup pass (excluded): primes JVM JIT, whole-stage-codegen cache,
     # Python workers, and the OS page cache for the whole corpus, exactly
@@ -174,6 +209,11 @@ def main() -> None:
                 "cpus": CPUS,
                 "extract_docs": N_DOCS,
                 "extract_docs_per_sec": docs_per_sec,
+                "extract_pdfs_per_sec": (
+                    round(N_PDFS / timings["pipeline_extract_pdf"], 1)
+                    if "pipeline_extract_pdf" in timings
+                    else None
+                ),
             }
         )
     )

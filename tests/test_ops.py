@@ -322,6 +322,36 @@ def test_repetition_signals(spark):
     assert abs(vals["tokens with "]["sym"] - 3 / 8) < 1e-9
 
 
+def test_curation_columns_match_individual_signals(spark):
+    """The fused one-scan curation pass must be value-identical to the
+    individual signal functions (it only shares subexpressions)."""
+    from texteller_spark.operators import textops
+
+    rows = [
+        ("HTTPS://WWW.Example.CO.UK:443/A?q=1#f", "the cat sat. the cat sat. end ### ..."),
+        ("http://sub.shop.com/x", ""),
+        ("not a url", "der und die das ist mit für"),
+        ("https://a.b.c.org:8080/p", "одно 中文中文中文中文中文 mixed"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    url, text = F.col("url"), F.col("text")
+    individual = df.select(
+        textops.url_host(url).alias("host"),
+        textops.registrable_domain(url).alias("domain"),
+        textops.url_normalize(url).alias("norm_url"),
+        textops.token_count(text).alias("tokens"),
+        textops.quality_score(text).alias("quality"),
+        textops.lang_id(text).alias("lang_id"),
+        textops.dup_segment_fraction(text).alias("dup_frac"),
+        textops.symbol_word_ratio(text).alias("sym_ratio"),
+        textops.fingerprint(text).alias("fp"),
+    ).collect()
+    fused = textops.curation_columns(df).collect()
+    assert sorted(map(tuple, fused)) == sorted(map(tuple, individual))
+    # the intermediate __-prefixed columns must not leak
+    assert all(not c.startswith("__") for c in textops.curation_columns(df).columns)
+
+
 def test_multimodal_plumbing(spark):
     from texteller_spark.operators.multimodal import (
         attach_media,

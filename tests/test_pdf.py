@@ -66,6 +66,27 @@ def test_malformed_degrades_to_empty_or_partial():
     assert extract_pdf_text(b"%PDF-1.4\nstream\nBT (x) Tj") == ""
 
 
+def test_length_bounds_payload_even_with_binary_cr_tail_and_keywords():
+    # a Flate payload may end in \r or contain b"endstream"; /Length must
+    # govern the extent, not EOL trimming or keyword search
+    raw = b"BT (exact) Tj ET"
+    comp = zlib.compress(raw, 6)
+    payload = comp + b"endstream junk that is NOT the terminator"
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(comp)).encode()
+        + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(body) == "exact"
+    # an indirect /Length (n g R) must NOT be taken as a byte count
+    content = b"BT (indirect) Tj ET"
+    body2 = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 7 0 R >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(body2) == "indirect"
+
+
 def test_compressed_is_smaller_and_equal():
     pages = [["repetition " * 50]]
     a = build_pdf(pages, compress=True)
@@ -74,6 +95,35 @@ def test_compressed_is_smaller_and_equal():
     assert extract_pdf_text(a) == extract_pdf_text(b)
     # the compressed body really is Flate (sanity against silent plain)
     assert b"/FlateDecode" in a and zlib
+
+
+def test_pdf_roundtrip_fuzz():
+    """Property: any latin-1 printable text round-trips build→extract
+    (escapes, parens, backslashes, high-bit chars) in both framings."""
+    from hypothesis import example, given, settings
+    from hypothesis import strategies as st
+
+    line = st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20, max_codepoint=0xFF, blacklist_categories=("Cc",)
+        ),
+        max_size=60,
+    )
+    pages = st.lists(st.lists(line, min_size=1, max_size=4), min_size=1, max_size=3)
+
+    @given(pages=pages, compress=st.booleans())
+    # regression: this input's Flate output ends in \r, which the old
+    # trim-to-endstream heuristic mangled (fixed by honoring /Length)
+    @example(pages=[["0", ":", ")«À", ")«À"]], compress=True)
+    @settings(max_examples=60, deadline=None)
+    def check(pages, compress):
+        got = extract_pdf_text(build_pdf(pages, compress=compress))
+        expected = [
+            s for page in pages for s in (ln.strip() for ln in page) if s
+        ]
+        assert got == "\n".join(expected)
+
+    check()
 
 
 def test_spark_pdf_scan_pages_shape(spark, tmp_path):

@@ -86,6 +86,15 @@ def test_topk_pushes_down(spark, Q):
     assert "ArrowEvalPython" not in p3  # cosine stays JVM-side
 
 
+def test_domain_quota_is_windowgrouplimit_and_jvm_only(spark, Q):
+    # per-domain quota: the rank<=k filter must become WindowGroupLimit
+    # (each map task keeps k rows per domain before the shuffle), and the
+    # whole URL-parse/quality chain stays JVM-side
+    p = plan_of(Q.q_domain_quota(spark, SF))
+    assert "WindowGroupLimit" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
 def test_array_stats_stay_jvm_side(spark, Q):
     # higher-order array expressions (aggregate/transform/array_max) must
     # compile to JVM codegen, never fall back to a Python eval node

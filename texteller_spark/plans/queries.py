@@ -1347,6 +1347,66 @@ FROM counts GROUP BY doc_id
 """
 
 
+def q_domain_quota(spark, sf):
+    """Per-domain quota: keep the k=3 highest-quality docs per registrable
+    domain — the host-level cap every crawl-curation pipeline applies so no
+    single site dominates the corpus. URLs are synthesized deterministically
+    (12 distinct domains over 200 docs), the domain key comes from the full
+    ``registrable_domain`` URL chain, ranking uses the rounded quality score
+    with doc_id tiebreak (engine-portable), and the per-group limit is the
+    WindowGroupLimit shape (partial top-k before the shuffle — the k1 pin).
+    The oracle derives the expected domain ARITHMETICALLY from doc_id, so it
+    verifies the whole host-parse/eTLD+1 chain end-to-end, not just mirrors
+    it."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("HTTPS://Sub"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Ex"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".com:443"))
+        .otherwise(F.lit(".org:8080")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    sel = d.select(
+        "doc_id",
+        textops.registrable_domain(url).alias("domain"),
+        F.round(textops.quality_score(F.col("text")), 4).alias("quality"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        sel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "domain", "quality")
+    )
+
+
+_SQL_DOMAIN_QUOTA = r"""
+WITH q AS (
+  SELECT doc_id,
+         'ex' || (doc_id % 4)
+           || CASE doc_id % 3 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+              ELSE '.org' END AS domain,
+         ROUND(
+           0.4 * least(length(text) / 500.0, 1.0)
+         + 0.4 * least(4.0 * len(list_filter(str_split_regex(lower(text), '\s+'),
+               w -> w IN ('the','a','of','and','to','in','is','for','on','with')))
+               / greatest(len(str_split_regex(lower(text), '\s+')), 1), 1.0)
+         + 0.2 * (1.0 - least(10.0 * length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+               / greatest(length(text), 1), 1.0)), 4) AS quality
+  FROM documents WHERE doc_id < 200
+), r AS (
+  SELECT doc_id, domain, quality,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM q
+)
+SELECT doc_id, domain, quality FROM r WHERE rn <= 3
+"""
+
+
 def q_ann_join(spark, sf):
     """Bulk ANN / decontamination join: every query vector (vec_id < 20 —
     the benchmark-eval-set analog) gets its top-5 LSH-bucketed cosine
@@ -1895,7 +1955,6 @@ QUERIES = {
     "j3_range_join": q_range_join,
     "j4_sessionize": q_sessionize,
     "j5_next_event": q_next_event,
-    "a1_mode": q_mode,
     "a2_ordered_concat": q_ordered_concat,
     "w1_first_per_group": q_first_per_group,
     "w2_interval_merge": q_interval_merge,
@@ -1909,6 +1968,7 @@ QUERIES = {
     "text_url_ops": q_url_ops,
     "text_repetition": q_repetition,
     "text_top_gram_share": q_top_gram_share,
+    "curation_domain_quota": q_domain_quota,
     "sim_cosine_topk": q_cosine_topk,
     "p4_train_filter": q_train_filter,
     "p7_train_split": q_train_split,
@@ -1935,6 +1995,7 @@ QUERIES = {
     "mm_media_frames": q_media_frames,
     "mm_media_resize": q_media_resize,
     # --- tail: green in r01 AND r02; safe under a driver entry cap ---
+    "a1_mode": q_mode,
     "k2_global_topk": q_global_topk,
     "set_ops": q_set_ops,
     "set_distinct": q_distinct_pairs,
@@ -1974,6 +2035,7 @@ ORACLES = {
     "text_url_ops": _SQL_URL_OPS,
     "text_repetition": _SQL_REPETITION,
     "text_top_gram_share": _SQL_TOP_GRAM,
+    "curation_domain_quota": _SQL_DOMAIN_QUOTA,
     "sim_cosine_topk": _SQL_COSINE,
     "p4_train_filter": _SQL_TRAIN_FILTER,
     "p7_train_split": _SQL_TRAIN_SPLIT,

@@ -45,31 +45,54 @@ _ESCAPES = {
 }
 
 
+#: direct /Length value; the lookahead rejects indirect refs («/Length 7 0 R»)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
 def _iter_streams(data: bytes) -> Iterator[bytes]:
     """All stream payloads, Flate-decoded when their object dict says so.
-    A corrupt stream is skipped (row-wise degradation)."""
+    A corrupt stream is skipped (row-wise degradation).
+
+    Payload extent comes from the dict's direct ``/Length`` when present
+    (spec §7.3.8) — binary Flate output can legitimately end in ``\\r`` or
+    contain ``endstream``, so the trim-to-keyword fallback below is only
+    for dicts without a usable /Length."""
     pos = 0
+    n_data = len(data)
     while True:
         m = _STREAM_RE.search(data, pos)
         if m is None:
             return
-        end = data.find(b"endstream", m.end())
-        if end < 0:
-            return
-        payload = data[m.end() : end]
-        if payload.endswith(b"\r\n"):
-            payload = payload[:-2]
-        elif payload.endswith(b"\n"):
-            payload = payload[:-1]
         # the governing dict is the << ... >> right before "stream"
         dict_start = data.rfind(b"<<", pos, m.start())
         head = data[dict_start : m.start()] if dict_start >= 0 else b""
+        lm = _LENGTH_RE.search(head)
+        length = int(lm.group(1)) if lm else -1
+        end = (
+            data.find(b"endstream", m.end() + length)
+            if 0 <= length <= n_data - m.end()
+            else -1
+        )
+        # trust /Length only when it lands cleanly: nothing but EOL
+        # whitespace between payload end and the endstream keyword
+        if end >= 0 and data[m.end() + length : end].strip(b"\r\n ") == b"":
+            payload = data[m.end() : m.end() + length]
+            pos = end + len(b"endstream")
+        else:
+            end = data.find(b"endstream", m.end())
+            if end < 0:
+                return
+            payload = data[m.end() : end]
+            if payload.endswith(b"\r\n"):
+                payload = payload[:-2]
+            elif payload.endswith((b"\n", b"\r")):
+                payload = payload[:-1]
+            pos = end + len(b"endstream")
         if b"/FlateDecode" in head:
             try:
                 payload = zlib.decompress(payload)
             except zlib.error:
                 payload = b""  # corrupt stream: no text from it
-        pos = end + len(b"endstream")
         if payload:
             yield payload
 
