@@ -198,6 +198,56 @@ def test_ngram_jaccard_exact_values(spark):
     assert got[0]["jaccard"] == 1.0
 
 
+def test_duplicate_clusters_transitive_chain(spark):
+    """Pairs form a path 1-2-...-8 with NO direct 1~8 edge: the closure must
+    still put all eight in one cluster (min id canonical); a detached pair
+    and an edge-less singleton keep their own clusters."""
+    from texteller_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)] + [(20, 21)], ["id_a", "id_b"]
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in list(range(1, 9)) + [20, 21, 99]], ["id"]
+    )
+    got = {
+        r.id: (r.cluster_id, r.is_canonical)
+        for r in duplicate_clusters(pairs, ids=ids).collect()
+    }
+    assert len(got) == 11
+    for i in range(1, 9):
+        assert got[i] == (1, 1 if i == 1 else 0)
+    assert got[20] == (20, 1) and got[21] == (20, 0)
+    assert got[99] == (99, 1)  # singleton survives as its own canonical
+
+
+def test_duplicate_clusters_long_chain_partition_and_orientation_invariant(spark):
+    """A 51-node chain given in reversed order with swapped (a,b) columns
+    and an adversarial partitioning must converge (pointer jumping: O(log
+    diameter) rounds, well under the round cap) to cluster 0."""
+    from texteller_spark.operators.dedup import duplicate_clusters
+
+    edges = [(b, a) for a, b in reversed([(i, i + 1) for i in range(50)])]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(7)
+    got = duplicate_clusters(pairs, max_rounds=12).collect()
+    assert len(got) == 51
+    assert all(r.cluster_id == 0 for r in got)
+    assert sum(r.is_canonical for r in got) == 1
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    from texteller_spark.operators.dedup import duplicate_clusters
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("id_a", T.LongType()),
+                          T.StructField("id_b", T.LongType())])
+    )
+    ids = spark.createDataFrame([(5,), (7,)], ["id"])
+    got = sorted(map(tuple, duplicate_clusters(empty, ids=ids).collect()))
+    assert got == [(5, 5, 1), (7, 7, 1)]
+
+
 def test_brute_force_vs_lsh_recall(spark):
     from texteller_spark.operators.similarity import brute_force_topk, lsh_topk
 

@@ -48,6 +48,7 @@ __all__ = [
     "with_simhash",
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
+    "duplicate_clusters",
     "release_caches",
     "signature_cache",
 ]
@@ -333,6 +334,93 @@ def simhash_near_pairs(
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs → one canonical id per document:
+    ``(id, cluster_id, is_canonical)`` with ``cluster_id`` = the minimum id
+    in the connected component. This is the step that turns PAIR finders
+    (MinHash/SimHash/Jaccard — chains like A~B, B~C with no direct A~C
+    edge) into an actual dedup decision: keep ``is_canonical`` rows, drop
+    the rest.
+
+    Algorithm: hash-to-min label propagation accelerated by pointer
+    jumping — each round every node takes the min label over its neighbors,
+    then shortcuts ``label(v) ← label(label(v))`` (path halving), so
+    convergence is O(log diameter) rounds, not O(diameter). Per round the
+    only shuffled payload is the narrow ``(id, label)`` frame (two hash
+    joins + one aggregation — text and signatures never enter the loop),
+    and each round's result is checkpointed to truncate lineage (plain
+    ``localCheckpoint`` here; at production scale route the per-round label
+    table through the Iceberg checkpoint seam, which also makes the loop
+    resumable). Min-based updates are order- and partitioning-independent,
+    so the output is deterministic.
+
+    ``ids``, when given, must be a one-column ``id`` frame enumerating the
+    full corpus; docs without any near-dup edge come back as their own
+    singleton cluster. Raises ``RuntimeError`` if ``max_rounds`` is hit
+    without convergence rather than returning a partial closure.
+    """
+    spark = pairs.sparkSession
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    if ids is not None:
+        nodes = ids.select("id").unionByName(nodes).distinct()
+    lab = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+
+    try:
+        for _ in range(max_rounds):
+            nmin = (
+                edges.join(lab, edges["src"] == lab["id"])
+                .groupBy("dst")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            stepped = lab.join(nmin, lab["id"] == nmin["dst"], "left").select(
+                lab["id"].alias("id"),
+                F.least(lab["label"], F.coalesce("nlabel", lab["label"])).alias(
+                    "label"
+                ),
+            )
+            parent = stepped.select(
+                F.col("id").alias("pid"), F.col("label").alias("plabel")
+            )
+            jumped = (
+                stepped.join(parent, stepped["label"] == parent["pid"], "left")
+                .select(
+                    stepped["id"].alias("id"),
+                    F.coalesce("plabel", stepped["label"]).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                jumped.alias("n")
+                .join(lab.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            lab = jumped
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"duplicate_clusters did not converge in {max_rounds} rounds"
+            )
+    finally:
+        edges.unpersist()
+    return lab.select(
+        "id",
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("id")).cast("int").alias("is_canonical"),
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from ..operators import textops
 from ..operators.dedup import (
+    duplicate_clusters,
     exact_duplicate_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1716,18 +1717,16 @@ corpus AS (
 )"""
 
 
-def _minhash_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
-    """Recompute the full MinHash+LSH pipeline in SQL: 32-bit md5-prefix
-    shingle hashes, the exact seeded universal-hash coefficients (all
-    arithmetic < 2^63 → exact in BIGINT), per-band slice equality for
-    candidates, signature-agreement estimate for admission. Value-exact vs
-    the Spark Arrow kernel by construction."""
+def _minhash_ctes(bands: int = 16, k: int = 3) -> str:
+    """The MinHash+LSH CTE chain (corpus → shingle hashes → signatures →
+    banded candidates → signature-agreement counts in ``agree``), shared by
+    the pair oracle (`_minhash_sql`) and the cluster-closure oracle
+    (`_clusters_sql`). All arithmetic < 2^63 → exact in BIGINT."""
     from ..operators.dedup import _A, _B, _MERSENNE, _N_HASHES
 
     rpb = _N_HASHES // bands
     coeff = ", ".join(f"({i}, {int(_A[i])}, {int(_B[i])})" for i in range(_N_HASHES))
-    return f"""
-WITH {_SQL_CORPUS_CTE},
+    return f"""{_SQL_CORPUS_CTE},
 toks AS (
   SELECT id, str_split_regex(trim(text), '\\s+') AS w FROM corpus
   WHERE length(trim(text)) > 0
@@ -1762,9 +1761,64 @@ agree AS (
   JOIN sig sa ON sa.id = c.id_a
   JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
   GROUP BY c.id_a, c.id_b
-)
+)"""
+
+
+def _minhash_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
+    """Recompute the full MinHash+LSH pipeline in SQL: 32-bit md5-prefix
+    shingle hashes, the exact seeded universal-hash coefficients, per-band
+    slice equality for candidates, signature-agreement estimate for
+    admission. Value-exact vs the Spark Arrow kernel by construction."""
+    from ..operators.dedup import _N_HASHES
+
+    return f"""
+WITH {_minhash_ctes(bands, k)}
 SELECT id_a, id_b, ROUND(n_eq / {_N_HASHES}.0, 4) AS est_jaccard
 FROM agree WHERE n_eq / {_N_HASHES}.0 >= {threshold}
+"""
+
+
+def q_dedup_clusters(spark, sf):
+    """Transitive closure of MinHash near-dup pairs → one canonical doc per
+    connected component (`duplicate_clusters`: hash-to-min label
+    propagation + pointer jumping). This is the step that turns a PAIR
+    finder into a dedup *decision* — chains like A~B, B~C with no direct
+    A~C edge still collapse to one cluster. Docs with no near-dup edge come
+    back as their own singleton cluster (ids = the full corpus)."""
+    corpus = _near_dup_corpus(spark, sf)
+    pairs = minhash_lsh_pairs(corpus, bands=16, threshold=0.5)
+    return duplicate_clusters(
+        pairs.select("id_a", "id_b"),
+        ids=corpus.select(F.col("doc_id").alias("id")),
+    )
+
+
+def _clusters_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
+    """Connected components over the MinHash pair set via a recursive CTE:
+    `reach` enumerates, for every node, each component member whose label
+    can reach it along undirected edges (UNION dedups, so the fixpoint
+    terminates); MIN over that set is the canonical (minimum) id — the same
+    contract `duplicate_clusters` guarantees."""
+    from ..operators.dedup import _N_HASHES
+
+    return f"""
+WITH RECURSIVE {_minhash_ctes(bands, k)},
+pairs AS (
+  SELECT id_a, id_b FROM agree WHERE n_eq / {_N_HASHES}.0 >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach (id, lab) AS (
+  SELECT id, id FROM corpus
+  UNION
+  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, MIN(lab) AS cluster_id,
+       CAST(CASE WHEN MIN(lab) = id THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM reach GROUP BY id
 """
 
 
@@ -1946,7 +2000,6 @@ FROM documents GROUP BY 1
 QUERIES = {
     "flagship_extract": flagship,
     "q1_pricing_summary": q_pricing_summary,
-    "q6_revenue_scalar": q_revenue_scalar,
     "j2_region_rollup": q_region_rollup,
     "q3_shipping_priority": q_shipping_priority,
     "q9_profit_star": q_profit_by_nation_brand,
@@ -1987,6 +2040,7 @@ QUERIES = {
     "stream_span_rates": q_stream_span_rates,
     "stream_first_seen": q_stream_first_seen,
     "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "sim_ann_lsh": q_ann_lsh,
@@ -1995,6 +2049,7 @@ QUERIES = {
     "mm_media_frames": q_media_frames,
     "mm_media_resize": q_media_resize,
     # --- tail: green in r01 AND r02; safe under a driver entry cap ---
+    "q6_revenue_scalar": q_revenue_scalar,
     "a1_mode": q_mode,
     "k2_global_topk": q_global_topk,
     "set_ops": q_set_ops,
@@ -2049,6 +2104,7 @@ ORACLES = {
     "sim_ann_lsh": _ann_lsh_sql(),
     "sim_ann_join": _ann_join_sql(),
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_clusters": _clusters_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "w4_rank_frames": _SQL_RANK_FRAMES,
