@@ -149,6 +149,7 @@ def main() -> None:
         "dedup_exact": lambda: Q.q_dedup_exact(spark, SF_DIR),
         "dedup_minhash_lsh": lambda: Q.q_minhash_lsh(spark, SF_DIR),
         "dedup_clusters": lambda: Q.q_dedup_clusters(spark, SF_DIR),
+        "dedup_lines": lambda: Q.q_dedup_lines(spark, SF_DIR),
         "dedup_simhash": lambda: Q.q_simhash(spark, SF_DIR),
         "dedup_embedding_lsh": lambda: Q.q_embedding_lsh(spark, SF_DIR),
         "text_quality": lambda: Q.q_quality(spark, SF_DIR),

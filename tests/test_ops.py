@@ -248,6 +248,49 @@ def test_duplicate_clusters_empty_pairs(spark):
     assert got == [(5, 5, 1), (7, 7, 1)]
 
 
+def test_remove_duplicate_lines_semantics(spark):
+    """Cross-doc shared line drops everywhere; within-doc repeats, unique
+    lines, and whitespace-only lines survive in original order; an all-dup
+    doc comes back with empty text; non-text columns pass through."""
+    from texteller_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nSHARED AD\n  \nkeep me", "web"),
+            (2, "SHARED AD\nunique two\nrepeat\nrepeat", "web"),
+            (3, "SHARED AD", "pdf"),
+            (4, "", "pdf"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        r.doc_id: (r.text, r.n_dropped_lines, r.source)
+        for r in remove_duplicate_lines(docs).collect()
+    }
+    assert got[1] == ("unique one\n  \nkeep me", 1, "web")
+    assert got[2] == ("unique two\nrepeat\nrepeat", 1, "web")
+    assert got[3] == ("", 1, "pdf")
+    assert got[4] == ("", 0, "pdf")
+
+
+def test_remove_duplicate_lines_min_docs_threshold(spark):
+    """min_docs=3: a line shared by only two docs survives; whitespace
+    differences trim to the same key."""
+    from texteller_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "pair line\ntriple"), (2, "  pair line \n triple "), (3, "triple")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.text, r.n_dropped_lines)
+        for r in remove_duplicate_lines(docs, min_docs=3).collect()
+    }
+    assert got[1] == ("pair line", 1)
+    assert got[2] == ("  pair line ", 1)
+    assert got[3] == ("", 1)
+
+
 def test_brute_force_vs_lsh_recall(spark):
     from texteller_spark.operators.similarity import brute_force_topk, lsh_topk
 

@@ -49,6 +49,7 @@ __all__ = [
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
     "duplicate_clusters",
+    "remove_duplicate_lines",
     "release_caches",
     "signature_cache",
 ]
@@ -421,6 +422,60 @@ def duplicate_clusters(
         "id",
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("id")).cast("int").alias("is_canonical"),
+    )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document line dedup (the C4 / RefinedWeb boilerplate rule):
+    drop every line whose trimmed form occurs in at least ``min_docs``
+    DISTINCT documents, keep everything else in original order. Returns the
+    input columns with ``text_col`` rewritten plus ``n_dropped_lines``.
+    Whitespace-only lines never count toward a group and are always kept;
+    a line repeated only WITHIN one document stays (the rule is cross-doc).
+
+    Scale shape: the counting aggregate shuffles only ``(id, pos, hash)``
+    (8-byte ``xxhash64`` of the trimmed line — the only approximation:
+    a 64-bit collision would drop an innocent line); dup positions collapse
+    to one small array per affected doc; the full text shuffles exactly
+    once, in the final left join back onto the input. Line removal itself
+    is a JVM higher-order ``filter`` over the split array — no Python.
+    """
+    base = df.withColumn("_lines", F.split(F.col(text_col), "\n"))
+    keyed = base.select(
+        F.col(id_col).alias("_id"), F.posexplode("_lines").alias("_pos", "_line")
+    ).select(
+        "_id", "_pos", F.trim("_line").alias("_t")
+    ).filter(
+        F.col("_t") != ""
+    ).select("_id", "_pos", F.xxhash64("_t").alias("_h"))
+    dup = (
+        keyed.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_n"))
+        .filter(F.col("_n") >= min_docs)
+        .select("_h")
+    )
+    dup_pos = (
+        keyed.join(dup, "_h")
+        .groupBy("_id")
+        .agg(F.collect_set("_pos").alias("_dp"))
+    )
+    joined = base.join(dup_pos, base[id_col] == dup_pos["_id"], "left")
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x, i: ~F.coalesce(F.array_contains(F.col("_dp"), i), F.lit(False)),
+    )
+    out_cols = [
+        F.concat_ws("\n", kept).alias(c) if c == text_col else base[c]
+        for c in df.columns
+    ]
+    return joined.select(
+        *out_cols,
+        F.coalesce(F.size("_dp"), F.lit(0)).cast("int").alias("n_dropped_lines"),
     )
 
 

@@ -23,6 +23,7 @@ from ..operators.dedup import (
     exact_duplicate_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    remove_duplicate_lines,
     simhash_near_pairs,
 )
 from ..operators.multimodal import (
@@ -1822,6 +1823,73 @@ FROM reach GROUP BY id
 """
 
 
+def _line_corpus(spark, sf):
+    """Deterministic line-structured corpus for line-level dedup: the base
+    documents carry no newlines, so each doc becomes 5 lines — an 80-char
+    content prefix, a boilerplate line shared by EVERY doc, a unique line,
+    a whitespace-only line, and a line shared by the ``doc_id % 10 == 0``
+    tenth of the corpus. Mirrored verbatim in the oracle's CTE."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 80),
+            F.lit("subscribe to our newsletter"),
+            F.concat(F.lit("doc "), F.col("doc_id"), F.lit(" unique line")),
+            F.lit("  "),
+            F.when(
+                F.col("doc_id") % 10 == 0, F.lit("cookie policy applies")
+            ).otherwise(F.concat(F.lit("local line "), F.col("doc_id"))),
+        ).alias("text"),
+    )
+
+
+_SQL_LINE_CORPUS_CTE = """
+lcorpus AS (
+  SELECT doc_id,
+         substr(text, 1, 80)
+         || chr(10) || 'subscribe to our newsletter'
+         || chr(10) || 'doc ' || doc_id || ' unique line'
+         || chr(10) || '  '
+         || chr(10) || CASE WHEN doc_id % 10 = 0 THEN 'cookie policy applies'
+                            ELSE 'local line ' || doc_id END AS text
+  FROM documents
+)"""
+
+
+def q_dedup_lines(spark, sf):
+    """Cross-document line dedup (C4/RefinedWeb boilerplate rule) over the
+    line-structured corpus: the everywhere-shared and tenth-shared lines
+    vanish, unique and whitespace-only lines survive in order."""
+    out = remove_duplicate_lines(_line_corpus(spark, sf))
+    return out.select("doc_id", "text", "n_dropped_lines")
+
+
+_SQL_DEDUP_LINES = f"""
+WITH {_SQL_LINE_CORPUS_CTE},
+base AS (SELECT doc_id, str_split(text, chr(10)) AS lines FROM lcorpus),
+ex AS (
+  SELECT doc_id, i - 1 AS pos, lines[i] AS line
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i)
+),
+dup AS (
+  SELECT trim(line) AS k FROM ex WHERE trim(line) <> ''
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+),
+flag AS (
+  SELECT e.doc_id, e.pos, e.line, (d.k IS NOT NULL) AS is_dup
+  FROM ex e LEFT JOIN dup d ON trim(e.line) = d.k
+)
+SELECT doc_id,
+       COALESCE(
+         string_agg(CASE WHEN NOT is_dup THEN line END, chr(10) ORDER BY pos),
+         '') AS text,
+       CAST(COUNT(*) FILTER (WHERE is_dup) AS INT) AS n_dropped_lines
+FROM flag GROUP BY doc_id
+"""
+
+
 def q_simhash(spark, sf):
     return simhash_near_pairs(_near_dup_corpus(spark, sf), max_hamming=3)
 
@@ -2004,7 +2072,6 @@ QUERIES = {
     "q3_shipping_priority": q_shipping_priority,
     "q9_profit_star": q_profit_by_nation_brand,
     "q17_small_qty": q_small_qty_revenue,
-    "j1_zip_positional": q_zip_positional,
     "j3_range_join": q_range_join,
     "j4_sessionize": q_sessionize,
     "j5_next_event": q_next_event,
@@ -2041,6 +2108,7 @@ QUERIES = {
     "stream_first_seen": q_stream_first_seen,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_lines": q_dedup_lines,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "sim_ann_lsh": q_ann_lsh,
@@ -2049,6 +2117,7 @@ QUERIES = {
     "mm_media_frames": q_media_frames,
     "mm_media_resize": q_media_resize,
     # --- tail: green in r01 AND r02; safe under a driver entry cap ---
+    "j1_zip_positional": q_zip_positional,
     "q6_revenue_scalar": q_revenue_scalar,
     "a1_mode": q_mode,
     "k2_global_topk": q_global_topk,
@@ -2105,6 +2174,7 @@ ORACLES = {
     "sim_ann_join": _ann_join_sql(),
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_clusters": _clusters_sql(),
+    "dedup_lines": _SQL_DEDUP_LINES,
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "w4_rank_frames": _SQL_RANK_FRAMES,
