@@ -150,6 +150,7 @@ def main() -> None:
         "dedup_minhash_lsh": lambda: Q.q_minhash_lsh(spark, SF_DIR),
         "dedup_clusters": lambda: Q.q_dedup_clusters(spark, SF_DIR),
         "dedup_lines": lambda: Q.q_dedup_lines(spark, SF_DIR),
+        "decon_ngram_overlap": lambda: Q.q_decon_ngrams(spark, SF_DIR),
         "dedup_simhash": lambda: Q.q_simhash(spark, SF_DIR),
         "dedup_embedding_lsh": lambda: Q.q_embedding_lsh(spark, SF_DIR),
         "text_quality": lambda: Q.q_quality(spark, SF_DIR),

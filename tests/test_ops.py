@@ -291,6 +291,36 @@ def test_remove_duplicate_lines_min_docs_threshold(spark):
     assert got[3] == ("", 1)
 
 
+def test_decontaminate_ngrams_exact_rule(spark):
+    """GPT-3-style exact n-gram overlap: case-insensitive hit, clean doc,
+    empty doc (0 grams, clean), sub-n-token doc matching as a whole-join
+    gram, and distinct-gram counting (a repeated hit counts once)."""
+    from texteller_spark.operators.dedup import decontaminate_ngrams
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y z w v u"),
+            (3, "C D e q r s"),
+            (4, ""),
+            (5, "short"),
+            (6, "c d e c d e c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([("c d e",), ("short",)], ["text"])
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit_grams, r.contaminated)
+        for r in decontaminate_ngrams(corpus, bench, n=3).collect()
+    }
+    assert got[1] == (6, 1, True)
+    assert got[2] == (4, 0, False)
+    assert got[3] == (4, 1, True)
+    assert got[4] == (0, 0, False)
+    assert got[5] == (1, 1, True)
+    assert got[6][1] >= 1 and got[6][2] is True
+
+
 def test_brute_force_vs_lsh_recall(spark):
     from texteller_spark.operators.similarity import brute_force_topk, lsh_topk
 

@@ -50,6 +50,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "duplicate_clusters",
     "remove_duplicate_lines",
+    "decontaminate_ngrams",
     "release_caches",
     "signature_cache",
 ]
@@ -476,6 +477,85 @@ def remove_duplicate_lines(
     return joined.select(
         *out_cols,
         F.coalesce(F.size("_dp"), F.lit(0)).cast("int").alias("n_dropped_lines"),
+    )
+
+
+def _word_gram_array(text_col, n: int):
+    """Array of word n-grams of ``text_col`` as a JVM column expression
+    (lowercased, whitespace-tokenized); texts shorter than ``n`` tokens
+    yield their whole token join — the same convention as the MinHash
+    shingle kernel (`_shingle_hashes`)."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    return F.when(
+        F.size(words) < n, F.array(F.concat_ws(" ", words))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def decontaminate_ngrams(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Exact n-gram benchmark decontamination (the GPT-3 13-gram rule):
+    flag every corpus document sharing at least ``min_hits`` distinct word
+    n-grams with ANY benchmark text. Returns one row per corpus doc:
+    ``(id_col, n_grams, n_hit_grams, contaminated)``. The embedding-space
+    analog is ``similarity.ann_join``; this is the exact-substring side
+    every training-data pipeline runs against its eval suites.
+
+    Scale shape: both sides reduce to distinct 8-byte ``xxhash64`` gram
+    keys before anything shuffles (the only approximation — a 64-bit
+    collision could flag an innocent doc). The benchmark gram set is
+    broadcast by default: eval suites are bounded by construction (unlike
+    a dup-set, they don't grow with the corpus), so the broadcast is a
+    constant-size plan choice; pass ``broadcast_benchmark=False`` to let
+    AQE decide for oversized reference sets. No text ever shuffles — only
+    ``(id, hash)`` pairs and two narrow per-id aggregates.
+    """
+    cg = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(_word_gram_array(F.col(text_col), n))).alias(
+                "_g"
+            ),
+        )
+        .filter(F.trim("_g") != "")
+        .select("_id", F.xxhash64("_g").alias("_h"))
+    )
+    bg = (
+        benchmark.select(
+            F.explode(F.array_distinct(_word_gram_array(F.col(text_col), n))).alias(
+                "_g"
+            )
+        )
+        .filter(F.trim("_g") != "")
+        .select(F.xxhash64("_g").alias("_h"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    totals = cg.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = cg.join(bg, "_h").groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_hit_grams")
+    )
+    base = corpus.select(F.col(id_col))
+    stats = totals.join(hits, "_id", "left").select(
+        "_id", "n_grams", F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams")
+    )
+    return base.join(stats, base[id_col] == stats["_id"], "left").select(
+        base[id_col],
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+        (F.coalesce("n_hit_grams", F.lit(0)) >= min_hits).alias("contaminated"),
     )
 
 

@@ -1890,6 +1890,60 @@ FROM flag GROUP BY doc_id
 """
 
 
+def q_decon_ngrams(spark, sf):
+    """Exact 5-gram benchmark decontamination: the benchmark set is the
+    token window 6..25 of every 25th document, so those source docs (and
+    only docs genuinely sharing a full 5-token run) come back flagged.
+    The benchmark gram-hash set is broadcast — bounded by construction."""
+    from ..operators.dedup import decontaminate_ngrams
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    w = F.split(F.lower(F.trim("text")), r"\s+")
+    bench = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(w, 6, 20)).alias("text")
+    )
+    return decontaminate_ngrams(d, bench, n=5)
+
+
+_SQL_DECON_NGRAMS = r"""
+WITH ct AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+),
+bt AS (
+  SELECT str_split_regex(array_to_string(list_slice(w, 6, 25), ' '), '\s+') AS w
+  FROM ct WHERE doc_id % 25 = 0
+),
+cg AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) < 5 THEN array_to_string(w, ' ')
+              ELSE array_to_string(list_slice(w, i + 1, i + 5), ' ') END AS g
+  FROM ct, LATERAL (SELECT unnest(generate_series(0, greatest(len(w) - 5, 0))) AS i)
+),
+bg AS (
+  SELECT DISTINCT
+         CASE WHEN len(w) < 5 THEN array_to_string(w, ' ')
+              ELSE array_to_string(list_slice(w, i + 1, i + 5), ' ') END AS g
+  FROM bt, LATERAL (SELECT unnest(generate_series(0, greatest(len(w) - 5, 0))) AS i)
+),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM cg WHERE trim(g) <> '' GROUP BY doc_id
+),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hit_grams
+  FROM cg c JOIN bg b ON c.g = b.g
+  WHERE trim(c.g) <> ''
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(t.n_grams, 0) AS n_grams,
+       COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       (COALESCE(h.n_hit_grams, 0) >= 1) AS contaminated
+FROM documents d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 def q_simhash(spark, sf):
     return simhash_near_pairs(_near_dup_corpus(spark, sf), max_hamming=3)
 
@@ -2069,7 +2123,6 @@ QUERIES = {
     "flagship_extract": flagship,
     "q1_pricing_summary": q_pricing_summary,
     "j2_region_rollup": q_region_rollup,
-    "q3_shipping_priority": q_shipping_priority,
     "q9_profit_star": q_profit_by_nation_brand,
     "q17_small_qty": q_small_qty_revenue,
     "j3_range_join": q_range_join,
@@ -2109,6 +2162,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_lines": q_dedup_lines,
+    "decon_ngram_overlap": q_decon_ngrams,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "sim_ann_lsh": q_ann_lsh,
@@ -2117,6 +2171,7 @@ QUERIES = {
     "mm_media_frames": q_media_frames,
     "mm_media_resize": q_media_resize,
     # --- tail: green in r01 AND r02; safe under a driver entry cap ---
+    "q3_shipping_priority": q_shipping_priority,
     "j1_zip_positional": q_zip_positional,
     "q6_revenue_scalar": q_revenue_scalar,
     "a1_mode": q_mode,
@@ -2175,6 +2230,7 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_clusters": _clusters_sql(),
     "dedup_lines": _SQL_DEDUP_LINES,
+    "decon_ngram_overlap": _SQL_DECON_NGRAMS,
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "w4_rank_frames": _SQL_RANK_FRAMES,
