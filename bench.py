@@ -159,6 +159,7 @@ def main() -> None:
         "sim_ann_join": lambda: Q.q_ann_join(spark, SF_DIR),
         "curation_signals": curation_signals,
         "p8_training_prep": lambda: Q.q_training_prep(spark, SF_DIR),
+        "p9_near_dup_prep": lambda: Q.q_near_dup_prep(spark, SF_DIR),
         "mm_media_features": lambda: Q.q_media_features(spark, SF_DIR),
     }
 

@@ -1794,17 +1794,16 @@ def q_dedup_clusters(spark, sf):
     )
 
 
-def _clusters_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
-    """Connected components over the MinHash pair set via a recursive CTE:
-    `reach` enumerates, for every node, each component member whose label
-    can reach it along undirected edges (UNION dedups, so the fixpoint
-    terminates); MIN over that set is the canonical (minimum) id — the same
-    contract `duplicate_clusters` guarantees."""
+def _closure_ctes(threshold: float = 0.5) -> str:
+    """Recursive-closure CTEs over the MinHash ``agree`` stage: `reach`
+    enumerates, for every node, each component member whose label can
+    reach it along undirected edges (UNION dedups, so the fixpoint
+    terminates); MIN over that set is the canonical (minimum) id — the
+    same contract `duplicate_clusters` guarantees. Must follow
+    `_minhash_ctes` under a ``WITH RECURSIVE`` header."""
     from ..operators.dedup import _N_HASHES
 
-    return f"""
-WITH RECURSIVE {_minhash_ctes(bands, k)},
-pairs AS (
+    return f"""pairs AS (
   SELECT id_a, id_b FROM agree WHERE n_eq / {_N_HASHES}.0 >= {threshold}
 ),
 edges AS (
@@ -1816,10 +1815,90 @@ reach (id, lab) AS (
   SELECT id, id FROM corpus
   UNION
   SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
-)
+)"""
+
+
+def _clusters_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes(bands, k)},
+{_closure_ctes(threshold)}
 SELECT id, MIN(lab) AS cluster_id,
        CAST(CASE WHEN MIN(lab) = id THEN 1 ELSE 0 END AS INT) AS is_canonical
 FROM reach GROUP BY id
+"""
+
+
+def q_near_dup_prep(spark, sf):
+    """Capstone near-dup-aware training prep — the full fuzzy-dedup chain
+    as ONE plan: MinHash+LSH pairs → transitive cluster closure → keep the
+    canonical (min-id) doc per cluster → quality/token admission → salted
+    90/10 split → per-split counts + mean quality. p8 is the exact-digest
+    version of this; real crawl prep runs THIS shape, where mutated
+    near-copies (the `_near_dup_corpus` +10M ids) collapse onto their
+    originals instead of surviving the digest check. Scale posture: the
+    closure loop shuffles only (id, label); the canonical keep-set rejoins
+    as a LEFT SEMI on the id; text never shuffles (all text-derived
+    columns computed at the scan)."""
+    corpus = _near_dup_corpus(spark, sf)
+    pairs = minhash_lsh_pairs(corpus, bands=16, threshold=0.5)
+    clusters = duplicate_clusters(
+        pairs.select("id_a", "id_b"),
+        ids=corpus.select(F.col("doc_id").alias("id")),
+    )
+    canon = clusters.filter(F.col("is_canonical") == 1).select("id")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    narrow = corpus.select(
+        "doc_id",
+        textops.quality_score(F.col("text")).alias("_q"),
+        textops.token_count(F.col("text")).alias("_n_tok"),
+        F.when(bucket < 9, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+    kept = narrow.join(canon, narrow["doc_id"] == canon["id"], "left_semi")
+    return kept.filter(
+        (F.col("_q") >= 0.5) & (F.col("_n_tok") >= 5) & (F.col("_n_tok") < 1014)
+    ).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_q"), 3).alias("avg_quality"),
+    )
+
+
+def _near_dup_prep_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
+    """p9 oracle: the recursive MinHash closure (shared CTEs) feeding the
+    p8 quality/split admission — canonical survivors only."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(bands, k)},
+{_closure_ctes(threshold)},
+canon AS (
+  SELECT id FROM reach GROUP BY id HAVING MIN(lab) = id
+),
+scored AS (
+  SELECT id,
+         0.4 * least(length(text) / 500.0, 1.0)
+       + 0.4 * least(4.0 * len(list_filter(str_split_regex(lower(text), '\\s+'),
+             w -> w IN ('the','a','of','and','to','in','is','for','on','with')))
+             / greatest(len(str_split_regex(lower(text), '\\s+')), 1), 1.0)
+       + 0.2 * (1.0 - least(10.0 * length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+             / greatest(length(text), 1), 1.0)) AS q,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM corpus
+)
+SELECT CASE WHEN CAST('0x' || substr(md5(s.id || ':42'), 1, 8) AS BIGINT) % 10 < 9
+            THEN 'train' ELSE 'val' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(s.q), 3) AS avg_quality
+FROM scored s JOIN canon c ON s.id = c.id
+WHERE s.q >= 0.5 AND s.n_tok >= 5 AND s.n_tok < 1014
+GROUP BY 1
 """
 
 
@@ -2127,7 +2206,6 @@ QUERIES = {
     "q17_small_qty": q_small_qty_revenue,
     "j3_range_join": q_range_join,
     "j4_sessionize": q_sessionize,
-    "j5_next_event": q_next_event,
     "a2_ordered_concat": q_ordered_concat,
     "w1_first_per_group": q_first_per_group,
     "w2_interval_merge": q_interval_merge,
@@ -2163,6 +2241,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_lines": q_dedup_lines,
     "decon_ngram_overlap": q_decon_ngrams,
+    "p9_near_dup_prep": q_near_dup_prep,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "sim_ann_lsh": q_ann_lsh,
@@ -2171,6 +2250,7 @@ QUERIES = {
     "mm_media_frames": q_media_frames,
     "mm_media_resize": q_media_resize,
     # --- tail: green in r01 AND r02; safe under a driver entry cap ---
+    "j5_next_event": q_next_event,
     "q3_shipping_priority": q_shipping_priority,
     "j1_zip_positional": q_zip_positional,
     "q6_revenue_scalar": q_revenue_scalar,
@@ -2231,6 +2311,7 @@ ORACLES = {
     "dedup_clusters": _clusters_sql(),
     "dedup_lines": _SQL_DEDUP_LINES,
     "decon_ngram_overlap": _SQL_DECON_NGRAMS,
+    "p9_near_dup_prep": _near_dup_prep_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "w4_rank_frames": _SQL_RANK_FRAMES,
