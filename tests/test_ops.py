@@ -235,6 +235,33 @@ def test_duplicate_clusters_long_chain_partition_and_orientation_invariant(spark
     assert sum(r.is_canonical for r in got) == 1
 
 
+def test_duplicate_clusters_star_graph_converges_fast(spark):
+    """A 200-leaf star around a hot hub (the skew shape LSH boilerplate
+    buckets produce) must converge within 3 rounds — one neighbor-min
+    plus pointer jumping, no O(diameter) walk."""
+    from texteller_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(500, i) for i in range(1, 201)], ["id_a", "id_b"]
+    )
+    got = duplicate_clusters(pairs, max_rounds=3).collect()
+    assert len(got) == 201
+    assert all(r.cluster_id == 1 for r in got)
+
+
+def test_duplicate_clusters_raises_without_convergence(spark):
+    """max_rounds too small for the diameter → RuntimeError, never a
+    silent partial closure."""
+    import pytest as _pytest
+    from texteller_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_rounds=1)
+
+
 def test_duplicate_clusters_empty_pairs(spark):
     from texteller_spark.operators.dedup import duplicate_clusters
     from pyspark.sql import types as T

@@ -152,3 +152,33 @@ def test_cli_warc_input(spark, tmp_path):
           "--output", out, "--run-id", "w1"])
     got = spark.read.parquet(f"{out}/extracted")
     assert got.count() == len(tiny_corpus())
+
+
+def test_wet_round_trip_and_type_filtering(spark, tmp_path):
+    """WET conversion records round-trip through read_text_wet (text
+    filled, html null); a mixed shard is split correctly — the response
+    reader never yields conversion records and vice versa."""
+    import datetime as dt
+
+    from texteller_spark.sources.warc import build_wet, read_text_wet
+
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    wet_rows = [
+        ("https://a.example/x", ts, "extracted text one\nline two"),
+        ("https://b.example/y", ts, "päge twö ünicode"),
+    ]
+    warc_rows = [("https://c.example/z", ts, b"<html>resp</html>")]
+    mixed = build_warc(warc_rows) + build_wet(wet_rows)
+    (tmp_path / "s0.warc.gz").write_bytes(mixed)
+
+    wet = {
+        r["url"]: (r["text"], r["html"])
+        for r in read_text_wet(spark, str(tmp_path)).collect()
+    }
+    assert wet == {u: (t, None) for u, _, t in wet_rows}
+
+    resp = {
+        r["url"]: bytes(r["html"])
+        for r in read_pages_warc(spark, str(tmp_path)).collect()
+    }
+    assert resp == {u: h for u, _, h in warc_rows}

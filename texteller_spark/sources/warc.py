@@ -49,7 +49,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..schema import PAGES_SCHEMA
 
-__all__ = ["build_warc", "parse_warc", "iter_warc_records", "read_pages_warc"]
+__all__ = [
+    "build_warc",
+    "build_wet",
+    "parse_warc",
+    "iter_warc_records",
+    "read_pages_warc",
+    "read_text_wet",
+]
 
 #: rows per emitted Arrow batch in read_pages_warc — bounds task-resident
 #: output memory at (batch × avg record) instead of (whole shard's records)
@@ -81,6 +88,29 @@ def build_warc(
             + _CRLF
         )
         record = header + http + _CRLF + _CRLF
+        out.write(gzip.compress(record, 1) if gzip_members else record)
+    return out.getvalue()
+
+
+def build_wet(
+    rows: list[tuple[str, datetime.datetime, str]], gzip_members: bool = True
+) -> bytes:
+    """Serialize (url, warc_ts, text) rows as WET ``conversion`` records —
+    the Common-Crawl extracted-text sidecar format. Unlike WARC response
+    records, the payload is the plain UTF-8 text with no HTTP envelope."""
+    out = io.BytesIO()
+    for url, ts, text in rows:
+        payload = text.encode("utf-8")
+        header = (
+            b"WARC/1.0" + _CRLF
+            + b"WARC-Type: conversion" + _CRLF
+            + b"WARC-Target-URI: " + url.encode() + _CRLF
+            + b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + _CRLF
+            + b"Content-Type: text/plain" + _CRLF
+            + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+            + _CRLF
+        )
+        record = header + payload + _CRLF + _CRLF
         out.write(gzip.compress(record, 1) if gzip_members else record)
     return out.getvalue()
 
@@ -150,10 +180,13 @@ def _parse_warc_date(s: str) -> datetime.datetime | None:
     return dt
 
 
-def _parse_records(stream: bytes) -> Iterator[dict]:
+def _parse_records(stream: bytes, record_type: str = "response") -> Iterator[dict]:
     """One WARC stream (a single decompressed gzip member, or a plain
-    uncompressed concatenation) → response-record dicts. Malformed records
-    are skipped, never raised."""
+    uncompressed concatenation) → record dicts of the requested
+    ``WARC-Type``. For ``response`` records the ``html`` value is the body
+    after the HTTP envelope; for ``conversion`` (WET) records the payload
+    IS the plain text and is yielded raw. Malformed records are skipped,
+    never raised."""
     pos = 0
     n = len(stream)
     while pos < n:
@@ -174,19 +207,24 @@ def _parse_records(stream: bytes) -> Iterator[dict]:
             continue
         payload = stream[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
-        if headers.get("warc-type") != "response" or len(payload) < length:
-            continue  # skip non-response and truncated-tail records
+        if headers.get("warc-type") != record_type or len(payload) < length:
+            continue  # skip other-typed and truncated-tail records
         url = headers.get("warc-target-uri")
         if not url:
             continue
-        http_end = payload.find(_CRLF + _CRLF)
-        html = payload[http_end + 4 :] if http_end >= 0 else payload
-        yield {"url": url, "warc_ts": _parse_warc_date(headers.get("warc-date", "")), "html": html}
+        if record_type == "response":
+            http_end = payload.find(_CRLF + _CRLF)
+            body = payload[http_end + 4 :] if http_end >= 0 else payload
+        else:
+            body = payload
+        yield {"url": url, "warc_ts": _parse_warc_date(headers.get("warc-date", "")), "html": body}
 
 
-def iter_warc_records(data: bytes) -> Iterator[dict]:
+def iter_warc_records(data: bytes, record_type: str = "response") -> Iterator[dict]:
     """WARC bytes (gzip-member or plain concatenation) → lazy iterator of
-    ``{url, warc_ts, html}`` response records.
+    ``{url, warc_ts, html}`` records of the requested ``WARC-Type``
+    (``response`` = crawl html; ``conversion`` = WET extracted text, whose
+    payload is yielded raw under the same ``html`` key).
 
     Record-granular: in Common Crawl's storage form each gzip member IS one
     record, so members are decompressed and parsed ONE AT A TIME — peak
@@ -196,9 +234,9 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
     all."""
     if data[:2] == _GZIP_MAGIC:
         for member in _gzip_members(data):
-            yield from _parse_records(member)
+            yield from _parse_records(member, record_type)
     else:
-        yield from _parse_records(data)
+        yield from _parse_records(data, record_type)
 
 
 def parse_warc(data: bytes) -> list[dict]:
@@ -227,6 +265,38 @@ def read_pages_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                             "warc_ts": r["warc_ts"],
                             "html": r["html"],
                             "text": None,
+                            "lang": None,
+                        }
+                    )
+                    if len(buf) >= _OUT_BATCH_ROWS:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+        yield pd.DataFrame(buf, columns=cols)
+
+    return files.select("content").mapInPandas(run, schema=PAGES_SCHEMA)
+
+
+def read_text_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Scan WET shards (``conversion`` records — Common Crawl's
+    extracted-text sidecar) into the authoritative pages shape with
+    ``text`` filled (UTF-8, invalid bytes replaced) and ``html`` null:
+    the entry point for pipelines that start from pre-extracted text
+    (dedup, quality, decontamination) and skip the html stage entirely.
+    Same task/memory/degradation contract as :func:`read_pages_warc`."""
+    files = spark.read.format("binaryFile").load(path_glob)
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list[dict] = []
+        for pdf in batches:
+            for content in pdf["content"]:
+                for r in iter_warc_records(bytes(content), "conversion"):
+                    buf.append(
+                        {
+                            "url": r["url"],
+                            "warc_ts": r["warc_ts"],
+                            "html": None,
+                            "text": r["html"].decode("utf-8", errors="replace"),
                             "lang": None,
                         }
                     )
