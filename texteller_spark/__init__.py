@@ -6,19 +6,48 @@ session factory, and the training-data operators. Everything here is a
 unavoidable; zero per-row Python at the Spark level).
 """
 
+from .operators.dedup import (  # noqa: F401
+    decontaminate_ngrams,
+    duplicate_clusters,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    remove_duplicate_lines,
+    simhash_near_pairs,
+)
+from .operators.similarity import (  # noqa: F401
+    ann_join,
+    brute_force_topk,
+    lsh_near_dup_pairs,
+    lsh_topk,
+)
 from .plans.pipeline import (  # noqa: F401
     extract_pages,
     extract_pages_chunked,
     span_table,
 )
 from .session import build_session  # noqa: F401
+from .sources.warc import read_pages_warc, read_text_wet  # noqa: F401
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "build_session",
     "extract_pages",
     "extract_pages_chunked",
     "span_table",
+    "exact_duplicate_groups",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+    "duplicate_clusters",
+    "remove_duplicate_lines",
+    "decontaminate_ngrams",
+    "brute_force_topk",
+    "lsh_topk",
+    "lsh_near_dup_pairs",
+    "ann_join",
+    "read_pages_warc",
+    "read_text_wet",
     "__version__",
 ]
