@@ -358,23 +358,33 @@ def duplicate_clusters(
     then shortcuts ``label(v) ← label(label(v))`` (path halving), so
     convergence is O(log diameter) rounds, not O(diameter). Per round the
     only shuffled payload is the narrow ``(id, label)`` frame (two hash
-    joins + one aggregation — text and signatures never enter the loop),
-    and each round's result is checkpointed to truncate lineage (plain
-    ``localCheckpoint`` here; at production scale route the per-round label
-    table through the Iceberg checkpoint seam, which also makes the loop
-    resumable). Min-based updates are order- and partitioning-independent,
-    so the output is deterministic.
+    joins + one aggregation — text and signatures never enter the loop).
+
+    Round-latency engineering (this loop is the rare iterative operator in
+    the package, so fixed per-round cost matters as much as data volume):
+    the symmetrized edge frame is hash-partitioned on ``src`` ONCE and
+    persisted, so every round's propagation join reuses that exchange and
+    only the label frame shuffles; the convergence test is a ``moved`` flag
+    computed in-plan and counted off the round's checkpointed output — a
+    cheap local scan instead of the old-vs-new shuffle join it replaces.
+    Each round ends in a ``localCheckpoint``: that truncation is
+    load-bearing, because the round's self-joins reference the label frame
+    several times and an untruncated plan grows exponentially with rounds
+    (at production scale route the checkpoint through the Iceberg seam,
+    which also makes the loop resumable). Min-based updates are order- and
+    partitioning-independent, so the output is deterministic.
 
     ``ids``, when given, must be a one-column ``id`` frame enumerating the
     full corpus; docs without any near-dup edge come back as their own
     singleton cluster. Raises ``RuntimeError`` if ``max_rounds`` is hit
     without convergence rather than returning a partial closure.
     """
-    spark = pairs.sparkSession
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
     nodes = edges.select(F.col("src").alias("id")).distinct()
     if ids is not None:
         nodes = ids.select("id").unionByName(nodes).distinct()
@@ -392,25 +402,29 @@ def duplicate_clusters(
                 F.least(lab["label"], F.coalesce("nlabel", lab["label"])).alias(
                     "label"
                 ),
+                lab["label"].alias("old"),
             )
             parent = stepped.select(
                 F.col("id").alias("pid"), F.col("label").alias("plabel")
             )
+            final = F.coalesce("plabel", stepped["label"])
+            # Per-round localCheckpoint is load-bearing: the propagation and
+            # jump joins reference `lab` several times, so without truncation
+            # the logical plan (and driver-side analysis time) grows
+            # exponentially in the round count.
             jumped = (
                 stepped.join(parent, stepped["label"] == parent["pid"], "left")
                 .select(
                     stepped["id"].alias("id"),
-                    F.coalesce("plabel", stepped["label"]).alias("label"),
+                    final.alias("label"),
+                    (final != stepped["old"]).alias("moved"),
                 )
                 .localCheckpoint()
             )
-            changed = (
-                jumped.alias("n")
-                .join(lab.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            lab = jumped
+            # Convergence rides the in-plan `moved` flag, counted off the
+            # just-materialized round — no separate old-vs-new join.
+            changed = jumped.filter("moved").count()
+            lab = jumped.select("id", "label")
             if changed == 0:
                 break
         else:
