@@ -532,11 +532,15 @@ def decontaminate_ngrams(
     broadcast by default: eval suites are bounded by construction (unlike
     a dup-set, they don't grow with the corpus), so the broadcast is a
     constant-size plan choice; pass ``broadcast_benchmark=False`` to let
-    AQE decide for oversized reference sets. No text ever shuffles — only
-    ``(id, hash)`` pairs and two narrow per-id aggregates.
+    AQE decide for oversized reference sets. The corpus explodes its grams
+    exactly ONCE (widened to cluster parallelism first — gram explosion is
+    the CPU-dense stage): total and hit counts come out of a single
+    aggregation over a membership-marked broadcast left join, so no text
+    ever shuffles — only partial ``(id, count, count)`` rows.
     """
     cg = (
-        corpus.select(
+        _widen(corpus)
+        .select(
             F.col(id_col).alias("_id"),
             F.explode(F.array_distinct(_word_gram_array(F.col(text_col), n))).alias(
                 "_g"
@@ -554,16 +558,20 @@ def decontaminate_ngrams(
         .filter(F.trim("_g") != "")
         .select(F.xxhash64("_g").alias("_h"))
         .distinct()
+        .withColumn("_m", F.lit(1))
     )
     if broadcast_benchmark:
         bg = F.broadcast(bg)
-    totals = cg.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = cg.join(bg, "_h").groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_hit_grams")
-    )
     base = corpus.select(F.col(id_col))
-    stats = totals.join(hits, "_id", "left").select(
-        "_id", "n_grams", F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams")
+    # `bg` is distinct on _h, so the left join never duplicates gram rows:
+    # one pass counts both totals and benchmark hits.
+    stats = (
+        cg.join(bg, "_h", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_m").alias("n_hit_grams"),
+        )
     )
     return base.join(stats, base[id_col] == stats["_id"], "left").select(
         base[id_col],
