@@ -595,3 +595,89 @@ def test_dedup_pairs_partition_invariant(spark):
         got.append({(r["id_a"], r["id_b"]) for r in pairs.collect()})
         release_caches()
     assert got[0] == got[1] and got[0]
+
+
+def test_pii_redaction_idempotent_and_counts_match(spark):
+    """redact(redact(x)) == redact(x); per-kind counts sum to the number of
+    placeholders in the redacted text (progressive counting contract)."""
+    from texteller_spark.operators.textops import pii_counts, redact_pii
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0, "mail a.b+c@x-1.example.org and 10.0.0.1 call +44 20 7946 0958."),
+        (1, "no pii at all, just text with 1.5 numbers and v2.0 releases"),
+        (2, "two mails x@y.io z@w.co.uk one ip 192.168.255.3"),
+        (3, ""),
+        (4, "+1 555 867 5309 twice +1 555 867 5309"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = df.select(
+        "i",
+        *pii_counts(F.col("t")),
+        redact_pii(F.col("t")).alias("r1"),
+        redact_pii(redact_pii(F.col("t"))).alias("r2"),
+    ).collect()
+    for r in out:
+        assert r["r1"] == r["r2"], r  # idempotent
+        placeholders = sum(r["r1"].count(p) for p in ("[EMAIL]", "[IP]", "[PHONE]"))
+        assert r["n_email"] + r["n_ip"] + r["n_phone"] == placeholders, r
+    by_i = {r["i"]: r for r in out}
+    assert by_i[0]["n_email"] == 1 and by_i[0]["n_ip"] == 1 and by_i[0]["n_phone"] == 1
+    assert by_i[1]["n_email"] == by_i[1]["n_ip"] == by_i[1]["n_phone"] == 0
+    assert by_i[2]["n_email"] == 2 and by_i[2]["n_ip"] == 1
+    assert by_i[4]["n_phone"] == 2
+
+
+def test_gopher_flags_each_rule_fires(spark):
+    from texteller_spark.operators.textops import gopher_flags
+    import pyspark.sql.functions as F
+
+    good = "the quick brown fox jumps over a lazy dog and then " * 10
+    rows = [
+        ("good", good),
+        ("too_short", "the cat sat on a mat"),
+        ("symbols", "the of " + "# " * 60 + "and to in is for on with words " * 8),
+        ("no_stops", "zebra quagga okapi lemur " * 30),
+        ("dupes", ("Same sentence here. " * 40) + "the a of and to in is for on with"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t"])
+    got = {r["k"]: r for r in df.select("k", *gopher_flags(F.col("t"))).collect()}
+    assert got["good"]["keep"]
+    assert not got["too_short"]["ok_word_count"]
+    assert not got["symbols"]["ok_symbol_ratio"]
+    assert not got["no_stops"]["ok_stopwords"]
+    assert not got["dupes"]["ok_dup_segments"]
+    for k in ("too_short", "symbols", "no_stops", "dupes"):
+        assert not got[k]["keep"], k
+
+
+def test_pack_sequences_invariants_and_bucket_independence(spark):
+    """cum_before equals the serial exclusive prefix sum for ANY bucket
+    size; boundary-straddling docs span first_seq..last_seq correctly."""
+    from texteller_spark.operators.packing import pack_sequences
+
+    rows = [(i, (i * 37) % 23) for i in range(0, 500, 3)]  # sparse, non-dense ids
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    serial = {}
+    cum = 0
+    for i, n in rows:
+        serial[i] = cum
+        cum += n
+    expected_total = cum
+    prev = None
+    for bs in (7, 64, 1 << 20):
+        got = {
+            r["doc_id"]: r
+            for r in pack_sequences(df, seq_len=32, bucket_size=bs).collect()
+        }
+        assert {i: r["cum_before"] for i, r in got.items()} == serial, bs
+        for i, n in rows:
+            r = got[i]
+            assert r["first_seq"] == serial[i] // 32
+            last = (serial[i] + max(n - 1, 0)) // 32
+            assert r["last_seq"] == last
+            assert r["seq_offset"] == serial[i] % 32
+        if prev is not None:
+            assert {i: (r["first_seq"], r["last_seq"]) for i, r in got.items()} == prev
+        prev = {i: (r["first_seq"], r["last_seq"]) for i, r in got.items()}
+    assert max(r["cum_before"] + n for (i, n), r in zip(rows, [got[i] for i, _ in rows])) == expected_total

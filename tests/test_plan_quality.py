@@ -255,3 +255,26 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         assert j.count() == 2000
     finally:
         spark.sql("DROP DATABASE IF EXISTS buckdemo CASCADE")
+
+
+def test_pack_sequences_prefix_sum_is_distributed(spark, Q):
+    # the two-level prefix sum: the ONLY single-partition exchange feeds the
+    # one-row-per-bucket subtotal window; the per-doc running-sum window is
+    # partitioned by bucket; the bucket prefix comes back via broadcast.
+    # A regression to the naive `sum() over (order by id)` would put the
+    # whole table through Exchange SinglePartition — the classic one-task
+    # scale killer this pin exists to catch.
+    p = plan_of(Q.q_pack_sequences(spark, SF))
+    assert p.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in p
+    # per-doc window is partitioned: its spec lists the bucket column
+    assert "windowspecdefinition(_psb" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_blocklist_is_broadcast_anti_join(spark, Q):
+    # the bounded blocklist must broadcast (never shuffle the corpus for a
+    # 3-row exclusion list) and the whole URL chain stays JVM-side
+    p = plan_of(Q.q_blocklist(spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

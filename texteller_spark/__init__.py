@@ -21,6 +21,15 @@ from .operators.similarity import (  # noqa: F401
     lsh_near_dup_pairs,
     lsh_topk,
 )
+from .operators.packing import (  # noqa: F401
+    exclusive_prefix_sum,
+    pack_sequences,
+)
+from .operators.textops import (  # noqa: F401
+    curation_columns,
+    gopher_flags,
+    redact_pii,
+)
 from .plans.pipeline import (  # noqa: F401
     extract_pages,
     extract_pages_chunked,
@@ -43,6 +52,11 @@ __all__ = [
     "duplicate_clusters",
     "remove_duplicate_lines",
     "decontaminate_ngrams",
+    "curation_columns",
+    "gopher_flags",
+    "redact_pii",
+    "exclusive_prefix_sum",
+    "pack_sequences",
     "brute_force_topk",
     "lsh_topk",
     "lsh_near_dup_pairs",

@@ -30,7 +30,11 @@ __all__ = [
     "dup_segment_fraction",
     "symbol_word_ratio",
     "curation_columns",
+    "pii_counts",
+    "redact_pii",
+    "gopher_flags",
     "STOPWORDS_EN",
+    "PII_PATTERNS",
 ]
 
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
@@ -183,6 +187,78 @@ def symbol_word_ratio(text: Column, tokens: Column | None = None) -> Column:
     if tokens is None:
         tokens = token_count(text)
     return syms / F.greatest(tokens, F.lit(1)).cast("double")
+
+
+#: PII patterns, ordered — emails first (their local parts would otherwise
+#: be half-eaten by the phone rule), then IPv4, then international-ish
+#: phone runs. Every pattern is valid and IDENTICAL under both java.util
+#: .regex and RE2 (DuckDB): no lookaround, no backrefs, ASCII `\b`/`\d` —
+#: the oracle evaluates the same literal strings.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d[\d -]{6,14}\d", "[PHONE]"),
+)
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-kind PII match counts (``n_email``, ``n_ip``, ``n_phone``) — the
+    audit half of PII handling: a corpus report of how much leaks where,
+    cheap enough to run on every ingest. Pure JVM ``regexp_extract_all``;
+    counts are taken on the PROGRESSIVELY REDACTED text exactly as
+    :func:`redact_pii` sees it, so ``n_ip`` never double-counts the digits
+    of an already-matched email and the counts always sum to the number of
+    placeholders the redacted text carries."""
+    out = []
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        out.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4s / phone-number runs with typed placeholders
+    (``[EMAIL]``/``[IP]``/``[PHONE]``) — the standard web-corpus scrub
+    (BigScience/ROOTS-style) as three chained ``regexp_replace`` passes that
+    stay inside whole-stage codegen. Idempotent: placeholders contain no
+    digits or ``@``, so a second pass matches nothing."""
+    cur = text
+    for _name, pat, repl in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pat, repl)
+    return cur
+
+
+def gopher_flags(text: Column, words: Column | None = None) -> list[Column]:
+    """The published Gopher/MassiveText document-quality rules as one list
+    of boolean columns plus the composite ``keep``: word count in
+    [50, 100000], mean word length in [3, 10], symbol-to-word ratio < 0.1,
+    duplicate-segment fraction < 0.3, and ≥ 2 DISTINCT English stopwords
+    present. All scan-speed JVM expressions sharing one split (pass
+    ``words`` = ``split(lower(text), '\\s+')`` to share it further);
+    filters on ``keep`` push down to the parquet scan."""
+    if words is None:
+        words = F.split(F.lower(text), r"\s+")
+    trimmed = F.trim(text)
+    n_words = token_count(text, trimmed=trimmed)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    mean_wl = alpha_chars / F.greatest(n_words, F.lit(1)).cast("double")
+    distinct_stops = F.size(
+        F.array_distinct(F.filter(words, lambda w: w.isin(*STOPWORDS_EN)))
+    )
+    ok_words = (n_words >= 50) & (n_words <= 100000)
+    ok_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    ok_sym = symbol_word_ratio(text, tokens=n_words) < 0.1
+    ok_dup = dup_segment_fraction(text, trimmed=trimmed) < 0.3
+    ok_stop = distinct_stops >= 2
+    return [
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_dup.alias("ok_dup_segments"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_sym & ok_dup & ok_stop).alias("keep"),
+    ]
 
 
 def curation_columns(df, url_col: str = "url", text_col: str = "text"):
