@@ -125,6 +125,32 @@ def main() -> None:
         # zero shuffles
         return T.curation_columns(corpus)
 
+    def curation_pii_gopher():
+        # PII scrub + Gopher keep-rules over the 100k-page corpus text in
+        # one scan — the regex-heaviest pure-JVM pass in the catalog
+        # (3 chained regexp_replace + the rule battery); zero shuffles
+        return corpus.select(
+            "url",
+            *T.pii_counts(F.col("text")),
+            T.redact_pii(F.col("text")).alias("redacted"),
+            *T.gopher_flags(F.col("text")),
+        )
+
+    def pack_corpus():
+        # sequence packing over the corpus: token counts at the scan, then
+        # the two-level distributed prefix sum (order key = url hash — a
+        # crawl has no natural doc order); exercises the packing shuffle
+        # pair + broadcast prefix at 100k rows
+        from texteller_spark.operators.packing import pack_sequences
+
+        toks = corpus.select(
+            F.xxhash64("url").alias("doc_key"),
+            T.token_count(F.col("text")).cast("long").alias("n_tok"),
+        )
+        return pack_sequences(
+            toks, id_col="doc_key", seq_len=2048, bucket_size=1 << 56
+        )
+
     builders = {
         "pipeline_extract": lambda: extract_pages(corpus),
         # secondary: text-only consumers skip the span payload on the
@@ -158,6 +184,8 @@ def main() -> None:
         "sim_cosine_topk": lambda: Q.q_cosine_topk(spark, SF_DIR),
         "sim_ann_join": lambda: Q.q_ann_join(spark, SF_DIR),
         "curation_signals": curation_signals,
+        "curation_pii_gopher": curation_pii_gopher,
+        "p10_pack_corpus": pack_corpus,
         "p8_training_prep": lambda: Q.q_training_prep(spark, SF_DIR),
         "p9_near_dup_prep": lambda: Q.q_near_dup_prep(spark, SF_DIR),
         "mm_media_features": lambda: Q.q_media_features(spark, SF_DIR),
