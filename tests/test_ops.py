@@ -681,3 +681,40 @@ def test_pack_sequences_invariants_and_bucket_independence(spark):
             assert {i: (r["first_seq"], r["last_seq"]) for i, r in got.items()} == prev
         prev = {i: (r["first_seq"], r["last_seq"]) for i, r in got.items()}
     assert max(r["cum_before"] + n for (i, n), r in zip(rows, [got[i] for i, _ in rows])) == expected_total
+
+
+def test_incremental_dedup_decisions_semantics(spark):
+    """Exact re-crawls flag dup_exact (and dup_near — identical sigs
+    collide); mutated near-copies flag dup_near only; fresh docs flag
+    neither; intra-new duplicates are deliberately NOT flagged."""
+    from texteller_spark.operators.dedup import (
+        incremental_dedup_decisions,
+        release_caches,
+    )
+
+    mk = lambda i: f"distinct document number {i} " + " ".join(
+        f"tok{i}w{j}" for j in range(25)
+    )
+    seen = spark.createDataFrame(
+        [(i, mk(i)) for i in range(6)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (100, mk(0)),                         # exact re-crawl of seen 0
+            (101, mk(1) + " tiny suffix"),        # near-copy of seen 1
+            (102, mk(50)),                        # fresh
+            (103, mk(60)),                        # fresh
+            (104, mk(60)),                        # intra-new exact dup: NOT flagged
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: (r["dup_exact"], r["dup_near"])
+        for r in incremental_dedup_decisions(new, seen, threshold=0.5).collect()
+    }
+    release_caches()
+    assert got[100] == (True, True)
+    assert got[101] == (False, True)
+    assert got[102] == (False, False)
+    assert got[103] == (False, False)
+    assert got[104] == (False, False)  # dup of NEW, not of seen

@@ -278,3 +278,19 @@ def test_blocklist_is_broadcast_anti_join(spark, Q):
     p = plan_of(Q.q_blocklist(spark, SF))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_incremental_dedup_shuffles_no_text(spark, Q):
+    # the rolling-ingest dedup decision: every keyed exchange carries only
+    # narrow columns (id/digest/band keys) — a regression that shuffles the
+    # text column would turn the per-snapshot probe into a corpus-sized
+    # shuffle at 100 TB. (_widen's RoundRobin repartition before the Arrow
+    # signature kernel legitimately carries text and is a no-op on
+    # file-backed corpora with adequate splits — excluded.)
+    p = plan_of(Q.q_incremental_dedup(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+    assert "ArrowEvalPython" in p  # the signature kernels, nothing else
+    assert "BatchEvalPython" not in p

@@ -10,6 +10,7 @@ from .operators.dedup import (  # noqa: F401
     decontaminate_ngrams,
     duplicate_clusters,
     exact_duplicate_groups,
+    incremental_dedup_decisions,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     remove_duplicate_lines,
@@ -52,6 +53,7 @@ __all__ = [
     "duplicate_clusters",
     "remove_duplicate_lines",
     "decontaminate_ngrams",
+    "incremental_dedup_decisions",
     "curation_columns",
     "gopher_flags",
     "redact_pii",

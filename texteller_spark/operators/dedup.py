@@ -51,6 +51,7 @@ __all__ = [
     "duplicate_clusters",
     "remove_duplicate_lines",
     "decontaminate_ngrams",
+    "incremental_dedup_decisions",
     "release_caches",
     "signature_cache",
 ]
@@ -244,6 +245,23 @@ def with_minhash(df: DataFrame, text_col: str = "text", shingle_k: int = 3) -> D
     return _widen(df).withColumn("minhash", sig_udf(F.col(text_col)))
 
 
+def _band_explode(
+    sigs: DataFrame, id_col: str, sig_col: str, bands: int
+) -> DataFrame:
+    """One row per (doc, band): the raw signature slice as the band key."""
+    rows_per_band = _N_HASHES // bands
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        sig_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band_id", "band_hash"),
+    ).select("id", sig_col, "band_id", "band_hash")
+
+
 def _bucket_join_pairs(banded: DataFrame, sig_col: str) -> DataFrame:
     """Same-bucket candidate pairs via the banded self-join.
 
@@ -297,20 +315,8 @@ def minhash_lsh_pairs(
     The signature stage stays persisted until :func:`release_caches` —
     consume the pairs inside ``with signature_cache():`` (or call
     ``release_caches()``) to bound session memory."""
-    rows_per_band = _N_HASHES // bands
     sigs = _materialize(with_minhash(df, text_col, shingle_k).select(id_col, "minhash"))
-
-    banded = sigs.select(
-        F.col(id_col).alias("id"),
-        "minhash",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice("minhash", b * rows_per_band + 1, rows_per_band),
-            )
-        ).alias("band_id", "band_hash"),
-    ).select("id", "minhash", "band_id", "band_hash")
-
+    banded = _band_explode(sigs, id_col, "minhash", bands)
     cand = _bucket_join_pairs(banded, "minhash")
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
@@ -320,6 +326,90 @@ def minhash_lsh_pairs(
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def incremental_dedup_decisions(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cross-snapshot dedup decision: for every ``new_df`` row, whether it
+    duplicates the ALREADY-INGESTED corpus — ``(id, dup_exact, dup_near)``
+    with ``dup_exact`` = an identical text exists in ``seen_df`` (md5
+    digest match) and ``dup_near`` = a MinHash near-dup does (band
+    collision verified at ``est_jaccard >= threshold``). This is the shape
+    a rolling crawl ingest runs every snapshot: dedup the NEW shard
+    against the accumulated corpus without re-clustering history.
+    Intra-new duplicates are deliberately NOT flagged — that is plain
+    :func:`minhash_lsh_pairs`/:func:`duplicate_clusters` territory; the
+    two compose (dedup new internally, then incrementally against seen).
+
+    Scale shape: every text-derived key (digest, signature bands) is
+    computed at its own scan and only narrow columns ever shuffle — the
+    digest probe joins ``(id, digest)`` against the distinct seen-digest
+    set, the near probe joins band slices new-vs-seen (never a self-join,
+    so the candidate space is |new|x|seen| band collisions, not the
+    quadratic union), and the output is the id-keyed decision frame: no
+    KEYED exchange ever carries text (pinned in plan tests — the only
+    text-bearing movement is ``_widen``'s parallelism repartition, a no-op
+    on file-backed corpora with adequate splits). Callers keep survivors
+    with a LEFT SEMI of the source on ``id``. Both signature stages follow the
+    :func:`release_caches` lifetime contract.
+
+    At web-scale exact-dup rates (30-60%) the signatures of
+    exact-duplicate new docs are wasted work; a two-pass variant (digest
+    filter first, then sign the survivors) trades one extra text shuffle
+    for that compute. This single-pass form keeps text pinned to its
+    scans, which is the right default when the corpus is wide.
+    """
+    nd = new_df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest")
+    )
+    sd = (
+        seen_df.select(F.md5(F.col(text_col)).alias("digest"))
+        .distinct()
+        .withColumn("_e", F.lit(1))
+    )
+    exact = nd.join(sd, "digest", "left").select(
+        "id", F.col("_e").isNotNull().alias("dup_exact")
+    )
+
+    new_sigs = _materialize(
+        with_minhash(new_df, text_col, shingle_k).select(id_col, "minhash")
+    )
+    seen_sigs = _materialize(
+        with_minhash(seen_df, text_col, shingle_k).select(id_col, "minhash")
+    )
+    nb = _band_explode(new_sigs, id_col, "minhash", bands).alias("n")
+    sb = _band_explode(seen_sigs, id_col, "minhash", bands).alias("s")
+    agree = F.size(
+        F.filter(F.zip_with("sig_n", "sig_s", lambda x, y: x == y), lambda v: v)
+    )
+    near_ids = (
+        nb.join(
+            sb,
+            on=[
+                F.col("n.band_id") == F.col("s.band_id"),
+                F.col("n.band_hash") == F.col("s.band_hash"),
+            ],
+        )
+        .select(
+            F.col("n.id").alias("id"),
+            F.col("n.minhash").alias("sig_n"),
+            F.col("s.minhash").alias("sig_s"),
+        )
+        .filter(agree / F.lit(_N_HASHES) >= threshold)
+        .select("id")
+        .distinct()
+        .withColumn("_n", F.lit(1))
+    )
+    return exact.join(near_ids, "id", "left").select(
+        "id", "dup_exact", F.col("_n").isNotNull().alias("dup_near")
     )
 
 

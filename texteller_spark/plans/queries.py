@@ -21,6 +21,7 @@ from ..operators import textops
 from ..operators.dedup import (
     duplicate_clusters,
     exact_duplicate_groups,
+    incremental_dedup_decisions,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     remove_duplicate_lines,
@@ -1719,16 +1720,16 @@ corpus AS (
 )"""
 
 
-def _minhash_ctes(bands: int = 16, k: int = 3) -> str:
-    """The MinHash+LSH CTE chain (corpus → shingle hashes → signatures →
-    banded candidates → signature-agreement counts in ``agree``), shared by
-    the pair oracle (`_minhash_sql`) and the cluster-closure oracle
-    (`_clusters_sql`). All arithmetic < 2^63 → exact in BIGINT."""
+def _sig_ctes(corpus_cte: str, bands: int = 16, k: int = 3) -> str:
+    """The MinHash signature CTE chain over any ``corpus(id, text)`` CTE:
+    corpus → shingle hashes → seeded-universal-hash signatures → banded
+    keys. Shared by the pair / closure / incremental oracles. All
+    arithmetic < 2^63 → exact in BIGINT."""
     from ..operators.dedup import _A, _B, _MERSENNE, _N_HASHES
 
     rpb = _N_HASHES // bands
     coeff = ", ".join(f"({i}, {int(_A[i])}, {int(_B[i])})" for i in range(_N_HASHES))
-    return f"""{_SQL_CORPUS_CTE},
+    return f"""{corpus_cte},
 toks AS (
   SELECT id, str_split_regex(trim(text), '\\s+') AS w FROM corpus
   WHERE length(trim(text)) > 0
@@ -1751,7 +1752,15 @@ bands AS (
   SELECT id, i // {rpb} AS band_id,
          string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_key
   FROM sig GROUP BY id, i // {rpb}
-),
+)"""
+
+
+def _minhash_ctes(bands: int = 16, k: int = 3) -> str:
+    """Signature chain + self-join candidates + signature-agreement counts
+    (``agree``) over the near-dup corpus — the pair oracle
+    (`_minhash_sql`) and cluster-closure oracle (`_clusters_sql`) share
+    this."""
+    return f"""{_sig_ctes(_SQL_CORPUS_CTE, bands, k)},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b
@@ -1764,6 +1773,86 @@ agree AS (
   JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
   GROUP BY c.id_a, c.id_b
 )"""
+
+
+#: incremental-dedup fixture: the accumulated corpus is docs < 25; the new
+#: snapshot carries fresh docs (>= 25), exact re-crawls of seen docs < 8
+#: (+2e7 ids) and near-copies of seen docs 8-15 (+3e7 ids, the mutation
+#: suffix) — every decision branch populated at every SF >= 0.001
+_SQL_INC_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id AS id, text, 0 AS is_new FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT doc_id AS id, text, 1 AS is_new FROM documents WHERE doc_id >= 25
+  UNION ALL
+  SELECT doc_id + 20000000 AS id, text, 1 AS is_new
+  FROM documents WHERE doc_id < 8
+  UNION ALL
+  SELECT doc_id + 30000000 AS id, text || ' appended mutation token' AS text,
+         1 AS is_new
+  FROM documents WHERE doc_id >= 8 AND doc_id < 16
+)"""
+
+
+def q_incremental_dedup(spark, sf):
+    """Cross-snapshot (rolling-ingest) dedup: the new crawl shard checked
+    against the accumulated corpus — exact via digest probe, near via a
+    new-vs-seen MinHash band join (never a self-join) — returning the
+    per-doc decision frame ``(id, dup_exact, dup_near)``. No text column
+    ever shuffles (`incremental_dedup_decisions`). The fixture plants
+    exact re-crawls AND near-copies of seen docs among fresh ones, so all
+    four flag combinations are exercised."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    seen = d.filter(F.col("doc_id") < 25)
+    new = (
+        d.filter(F.col("doc_id") >= 25)
+        .unionByName(
+            d.filter(F.col("doc_id") < 8).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 16)).select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" appended mutation token")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    return incremental_dedup_decisions(new, seen, bands=16, threshold=0.5)
+
+
+def _incremental_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
+    """Incremental-dedup oracle: the shared signature chain over the split
+    corpus, band candidates restricted to new-vs-seen, agreement admission
+    at ``threshold``, digest membership for the exact flag."""
+    from ..operators.dedup import _N_HASHES
+
+    return f"""
+WITH {_sig_ctes(_SQL_INC_CORPUS_CTE, bands, k)},
+cand AS (
+  SELECT DISTINCT a.id AS new_id, b.id AS seen_id
+  FROM bands a JOIN corpus ca ON ca.id = a.id AND ca.is_new = 1
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  JOIN corpus cb ON cb.id = b.id AND cb.is_new = 0
+),
+agree AS (
+  SELECT c.new_id, c.seen_id, SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS n_eq
+  FROM cand c
+  JOIN sig sa ON sa.id = c.new_id
+  JOIN sig sb ON sb.id = c.seen_id AND sb.i = sa.i
+  GROUP BY c.new_id, c.seen_id
+),
+near AS (
+  SELECT DISTINCT new_id FROM agree WHERE n_eq / {_N_HASHES}.0 >= {threshold}
+),
+sd AS (SELECT DISTINCT md5(text) AS d FROM corpus WHERE is_new = 0)
+SELECT n.id AS id,
+       md5(n.text) IN (SELECT d FROM sd) AS dup_exact,
+       n.id IN (SELECT new_id FROM near) AS dup_near
+FROM corpus n WHERE n.is_new = 1
+"""
 
 
 def _minhash_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
@@ -2400,7 +2489,6 @@ QUERIES = {
     "text_bpe_tokens": q_bpe_tokens,
     "text_lang_id": q_lang_id,
     "text_quality": q_quality,
-    "text_fingerprint": q_fingerprint,
     "text_url_ops": q_url_ops,
     "text_repetition": q_repetition,
     "text_top_gram_share": q_top_gram_share,
@@ -2424,6 +2512,7 @@ QUERIES = {
     "stream_first_seen": q_stream_first_seen,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_incremental": q_incremental_dedup,
     "dedup_lines": q_dedup_lines,
     "decon_ngram_overlap": q_decon_ngrams,
     "p9_near_dup_prep": q_near_dup_prep,
@@ -2435,6 +2524,7 @@ QUERIES = {
     "mm_media_frames": q_media_frames,
     "mm_media_resize": q_media_resize,
     # --- tail: green in r01 AND r02; safe under a driver entry cap ---
+    "text_fingerprint": q_fingerprint,
     "q17_small_qty": q_small_qty_revenue,
     "a2_ordered_concat": q_ordered_concat,
     "w1_first_per_group": q_first_per_group,
@@ -2480,6 +2570,7 @@ ORACLES = {
     "text_lang_id": _SQL_LANG_ID,
     "text_quality": _SQL_QUALITY,
     "text_pii_redact": _SQL_PII,
+    "dedup_incremental": _incremental_sql(),
     "curation_gopher_rules": _SQL_GOPHER,
     "p10_pack_sequences": _SQL_PACK,
     "curation_blocklist": _SQL_BLOCKLIST,
