@@ -3,6 +3,12 @@ its position in the concatenate-then-chunk token stream (the GPT-style
 packing model — all docs concatenated in a deterministic order, the stream
 cut into fixed ``seq_len`` training sequences).
 
+Reference parity: the reference trains on fixed-budget token sequences
+(``MAX_TOKEN_SIZE = 1024``, ``/root/reference/src/models/globals.py:15``,
+enforced per sample at train time); packing is the corpus-scale
+generalization a training-data pipeline needs — map EVERY document onto
+the fixed-length sequence stream instead of truncating per sample.
+
 The core primitive is a DISTRIBUTED exclusive prefix sum over token
 counts. The naive Spark spelling — ``sum(n) over (order by id)`` with no
 partition clause — collapses the whole table into ONE window partition and
