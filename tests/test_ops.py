@@ -718,3 +718,31 @@ def test_incremental_dedup_decisions_semantics(spark):
     assert got[102] == (False, False)
     assert got[103] == (False, False)
     assert got[104] == (False, False)  # dup of NEW, not of seen
+
+
+def test_normalize_text_idempotent_and_dedup_keys_converge(spark):
+    """NFC + zero-width scrub: idempotent, and visually-identical texts
+    (composed vs decomposed, with/without zero-width) get EQUAL digests
+    after normalization — the property exact dedup depends on."""
+    import pyspark.sql.functions as F
+    from texteller_spark.operators.normalize import normalize_text
+
+    rows = [
+        (0, "café latte"),           # composed
+        (1, "café latte"),          # decomposed -> same NFC
+        (2, "café​ latte"),     # composed + zero-width
+        (3, "unrelated text"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = df.select(
+        "i",
+        normalize_text(F.col("t")).alias("n1"),
+        normalize_text(normalize_text(F.col("t"))).alias("n2"),
+        F.md5(normalize_text(F.col("t"))).alias("d"),
+    ).collect()
+    by_i = {r["i"]: r for r in out}
+    for r in out:
+        assert r["n1"] == r["n2"]  # idempotent
+    assert by_i[0]["d"] == by_i[1]["d"] == by_i[2]["d"]
+    assert by_i[3]["d"] != by_i[0]["d"]
+    assert by_i[0]["n1"] == "café latte"

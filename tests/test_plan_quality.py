@@ -294,3 +294,21 @@ def test_incremental_dedup_shuffles_no_text(spark, Q):
             assert "text#" not in line, line
     assert "ArrowEvalPython" in p  # the signature kernels, nothing else
     assert "BatchEvalPython" not in p
+
+
+def test_vocab_topk_is_partial_agg_plus_take_ordered(spark, Q):
+    # corpus vocabulary: map-side partial count before the shuffle, global
+    # top-k via TakeOrderedAndProject — never a full sort of the vocabulary
+    p = plan_of(Q.q_vocab_topk(spark, SF))
+    assert "partial_count" in p or "Partial" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_nfc_normalize_is_single_arrow_kernel_no_shuffle(spark, Q):
+    # one Arrow round-trip (the NFC kernel), zero exchanges: the scrub
+    # regexp fuses into codegen around it
+    p = plan_of(Q.q_nfc_normalize(spark, SF))
+    assert p.count("ArrowEvalPython") == 1
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p

@@ -22,6 +22,7 @@ from .operators.similarity import (  # noqa: F401
     lsh_near_dup_pairs,
     lsh_topk,
 )
+from .operators.normalize import normalize_text  # noqa: F401
 from .operators.packing import (  # noqa: F401
     exclusive_prefix_sum,
     pack_sequences,
@@ -57,6 +58,7 @@ __all__ = [
     "curation_columns",
     "gopher_flags",
     "redact_pii",
+    "normalize_text",
     "exclusive_prefix_sum",
     "pack_sequences",
     "brute_force_topk",

@@ -27,6 +27,7 @@ from ..operators.dedup import (
     remove_duplicate_lines,
     simhash_near_pairs,
 )
+from ..operators.normalize import normalize_text
 from ..operators.packing import pack_sequences
 from ..operators.multimodal import (
     attach_media,
@@ -2333,6 +2334,86 @@ FROM s2
 """
 
 
+def q_nfc_normalize(spark, sf):
+    """Unicode canonicalization (the OSCAR/CCNet cleanup): NFC composition
+    via the Arrow kernel + zero-width scrub via JVM regexp
+    (`operators/normalize.py`). The fixture injects decomposed accents,
+    a compatibility ligature (NFC-invariant — pinning that NFC does NOT
+    fold it) and zero-width joiners by doc_id class, so composed/stripped/
+    unchanged branches all appear; n_chars before/after pin the change."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    head = F.substring(F.col("text"), 1, 40)
+    inject = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" cafe\u0301 cre\u0300me"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" A\u030arhus"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" \ufb01ne\u200bprint"))
+        .otherwise(F.lit(" plain ascii"))
+    )
+    noised = F.concat(head, inject)
+    norm = normalize_text(noised)
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(noised).alias("n_before"),
+        F.length(norm).alias("n_after"),
+    )
+
+
+_SQL_NFC = """
+WITH noised AS (
+  SELECT doc_id,
+         substring(text, 1, 40)
+           || CASE doc_id % 4
+              WHEN 0 THEN ' cafe\u0301 cre\u0300me'
+              WHEN 1 THEN ' A\u030arhus'
+              WHEN 2 THEN ' \ufb01ne\u200bprint'
+              ELSE ' plain ascii' END AS t
+  FROM documents WHERE doc_id < 40
+)
+SELECT doc_id,
+       regexp_replace(nfc_normalize(t), '[\u200b\u200c\u200d\ufeff]', '', 'g')
+         AS norm_text,
+       length(t) AS n_before,
+       length(regexp_replace(nfc_normalize(t), '[\u200b\u200c\u200d\ufeff]', '', 'g'))
+         AS n_after
+FROM noised
+"""
+
+
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary statistics: top-25 tokens by DOCUMENT frequency
+    (each doc counts a token once — `array_distinct` before the explode,
+    so a token-spamming page can't dominate). Partial aggregation at the
+    map side, global top-k via TakeOrderedAndProject (never a full sort);
+    deterministic tie-break on the token."""
+    d = _t(spark, sf, "documents")
+    words = d.select(
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("w"))
+        .limit(25)
+    )
+
+
+_SQL_VOCAB = r"""
+WITH words AS (
+  SELECT w
+  FROM documents,
+       LATERAL (SELECT unnest(list_distinct(str_split_regex(lower(text), '\s+'))) AS w)
+  WHERE w <> ''
+)
+SELECT w, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM words GROUP BY w
+ORDER BY doc_freq DESC, w ASC
+LIMIT 25
+"""
+
+
 def q_gopher_rules(spark, sf):
     """The published Gopher/MassiveText document-quality rules as one
     scan-speed pass: per-doc boolean flags (word-count band, mean word
@@ -2483,11 +2564,12 @@ QUERIES = {
     "k1_topk_per_group": q_topk_per_group,
     "dedup_exact": q_dedup_exact,
     "text_pii_redact": q_pii_redact,
+    "text_nfc_normalize": q_nfc_normalize,
+    "text_vocab_topk": q_vocab_topk,
     "curation_gopher_rules": q_gopher_rules,
     "p10_pack_sequences": q_pack_sequences,
     "curation_blocklist": q_blocklist,
     "text_bpe_tokens": q_bpe_tokens,
-    "text_lang_id": q_lang_id,
     "text_quality": q_quality,
     "text_url_ops": q_url_ops,
     "text_repetition": q_repetition,
@@ -2500,7 +2582,6 @@ QUERIES = {
     "skew_salted_agg": q_salted_agg,
     "j6_semi_anti": q_semi_anti,
     "j7_asof_join": q_asof_join,
-    "a3_rollup": q_rollup,
     "dedup_embedding_cosine": q_embedding_near_dup,
     "dedup_embedding_lsh": q_embedding_lsh,
     "w4_rank_frames": q_rank_frames,
@@ -2524,6 +2605,8 @@ QUERIES = {
     "mm_media_frames": q_media_frames,
     "mm_media_resize": q_media_resize,
     # --- tail: green in r01 AND r02; safe under a driver entry cap ---
+    "a3_rollup": q_rollup,
+    "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
     "q17_small_qty": q_small_qty_revenue,
     "a2_ordered_concat": q_ordered_concat,
@@ -2571,6 +2654,8 @@ ORACLES = {
     "text_quality": _SQL_QUALITY,
     "text_pii_redact": _SQL_PII,
     "dedup_incremental": _incremental_sql(),
+    "text_nfc_normalize": _SQL_NFC,
+    "text_vocab_topk": _SQL_VOCAB,
     "curation_gopher_rules": _SQL_GOPHER,
     "p10_pack_sequences": _SQL_PACK,
     "curation_blocklist": _SQL_BLOCKLIST,
