@@ -35,6 +35,12 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 #: pipeline); empty = all
 ONLY = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+#: reps for the non-pipeline query entries. Single-draw samples on this
+#: host land 3x outliers often enough to matter (round-2's j3_range_join
+#: recorded 13.1 s vs a 0.9 s rerun; a cold first draw of dedup_minhash
+#: measured 10.2 s vs a 3.5 s median) — median-of-3 buys outlier
+#: resistance for ~2x wall cost on the query section
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "3"))
 #: warmup passes before timing (multi-executor runs need 2: each fresh
 #: executor JVM JITs the whole codepath independently)
 WARMUP = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
@@ -214,7 +220,7 @@ def main() -> None:
     # (host exhibits kernel-time noise storms; a wider median resists them)
     timings: dict[str, float] = {}
     for name, b in builders.items():
-        reps = REPS if name == "pipeline_extract" else 1
+        reps = REPS if name == "pipeline_extract" else QUERY_REPS
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
