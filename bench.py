@@ -142,6 +142,24 @@ def main() -> None:
             *T.gopher_flags(F.col("text")),
         )
 
+    def vocab_topk_corpus():
+        # document-frequency top-25 over the 100k-page corpus: the explode
+        # fans each page into its distinct tokens (~10M rows), partial
+        # map-side counts collapse them before the shuffle, global top-k
+        # via TakeOrderedAndProject — the heaviest pure-agg shape in the
+        # bench
+        words = corpus.select(
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+            ).alias("w")
+        ).filter(F.col("w") != "")
+        return (
+            words.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .orderBy(F.desc("doc_freq"), F.asc("w"))
+            .limit(25)
+        )
+
     def pack_corpus():
         # sequence packing over the corpus: token counts at the scan, then
         # the two-level distributed prefix sum (order key = url hash — a
@@ -191,6 +209,7 @@ def main() -> None:
         "sim_ann_join": lambda: Q.q_ann_join(spark, SF_DIR),
         "curation_signals": curation_signals,
         "curation_pii_gopher": curation_pii_gopher,
+        "text_vocab_topk": vocab_topk_corpus,
         "p10_pack_corpus": pack_corpus,
         "p8_training_prep": lambda: Q.q_training_prep(spark, SF_DIR),
         "p9_near_dup_prep": lambda: Q.q_near_dup_prep(spark, SF_DIR),
