@@ -746,3 +746,86 @@ def test_normalize_text_idempotent_and_dedup_keys_converge(spark):
     assert by_i[0]["d"] == by_i[1]["d"] == by_i[2]["d"]
     assert by_i[3]["d"] != by_i[0]["d"]
     assert by_i[0]["n1"] == "café latte"
+
+
+# ---------------------------------------------------------------------------
+# web-graph operators
+# ---------------------------------------------------------------------------
+
+def test_extract_links_matches_anchors_only_in_order(spark):
+    from texteller_spark.operators.graph import extract_links
+
+    html = (
+        '<head><link href="https://cdn.x.com/a.css"></head>'
+        '<a id="1" href="https://a.com/1">one</a>'
+        "<a href='https://single-quoted.com/skipped'>sq</a>"
+        '<a class="z" href="https://b.org/2?q=1#f">two</a>'
+        '<img src="https://img.com/x.png">'
+    )
+    df = spark.createDataFrame([(html,)], ["h"])
+    [row] = df.select(extract_links(F.col("h")).alias("links")).collect()
+    # document order, anchors only; the <link> decoy and non-double-quoted
+    # forms are out of contract
+    assert row.links == ["https://a.com/1", "https://b.org/2?q=1#f"]
+
+
+def test_link_edges_drops_self_loops_and_unparseable(spark):
+    from texteller_spark.operators.graph import link_edges
+
+    rows = [
+        ("https://www.a.com/p", '<a href="https://b.com/x">.</a><a href="https://www.a.com/y">.</a>'),
+        ("https://b.com/p", '<a href="not a url">.</a><a href="https://a.com/z">.</a>'),
+        ("https://b.com/q", '<a href="https://a.com/w">.</a>'),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html_str"])
+    got = {(r.src, r.dst): r.n_links for r in link_edges(df).collect()}
+    assert got == {("a.com", "b.com"): 1, ("b.com", "a.com"): 2}
+
+
+def _pagerank_reference(edges, iters=3, d=0.85):
+    """Pure-Python oracle: same formula, same dangling convention."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    outw = {}
+    for u, _, w in edges:
+        outw[u] = outw.get(u, 0.0) + w
+    n = float(len(nodes))
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        mass = {v: 0.0 for v in nodes}
+        for u, v, w in edges:
+            mass[v] += rank[u] * (w / outw[u])
+        rank = {v: (1.0 - d) / n + d * mass[v] for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference_with_dangling_node(spark):
+    from texteller_spark.operators.dedup import release_caches
+    from texteller_spark.operators.graph import pagerank
+
+    # c is dangling (no out-edges); b->a is heavier than b->c
+    edges = [("a", "b", 1.0), ("b", "a", 3.0), ("b", "c", 1.0), ("a", "c", 1.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "n_links"])
+    try:
+        got = {r.node: r.rank for r in pagerank(df, iters=4).collect()}
+    finally:
+        release_caches()
+    want = _pagerank_reference(edges, iters=4)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    # dangling mass is dropped by convention: total decays below 1
+    assert 0.0 < sum(got.values()) < 1.0
+
+
+def test_pagerank_uniform_cycle_is_uniform(spark):
+    from texteller_spark.operators.dedup import release_caches
+    from texteller_spark.operators.graph import pagerank
+
+    cyc = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)]
+    df = spark.createDataFrame(cyc, ["src", "dst", "n_links"])
+    try:
+        got = {r.node: r.rank for r in pagerank(df, iters=3).collect()}
+    finally:
+        release_caches()
+    for v in got.values():
+        assert abs(v - 1.0 / 3.0) < 1e-12

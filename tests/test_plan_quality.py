@@ -312,3 +312,44 @@ def test_nfc_normalize_is_single_arrow_kernel_no_shuffle(spark, Q):
     assert p.count("ArrowEvalPython") == 1
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_link_graph_shuffles_pairs_not_html(spark, Q):
+    # anchor extraction happens at the scan; the single hash exchange
+    # carries only the (src, dst) string pair — shuffling page bodies at
+    # 100 TB is the regression this pins against
+    p = plan_of(Q.q_link_graph(spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "html" not in line, line
+    assert "EvalPython" not in p
+
+
+def test_domain_rank_has_no_cartesian_and_one_row_broadcast_only(spark, Q):
+    # the node count enters every round as a one-row broadcast (the only
+    # sanctioned nested-loop join); node-keyed joins must stay hash-based
+    # so the iteration scales with domains, not pages
+    p = plan_of(Q.q_domain_rank(spark, SF))
+    assert "CartesianProduct" not in p
+    # rank mass flows through hash joins/aggregations on node keys
+    assert "Exchange hashpartitioning" in p
+    assert "EvalPython" not in p
+
+
+def test_dedup_paragraphs_is_scan_only(spark, Q):
+    # in-doc keep-first segment dedup is entirely in-row JVM higher-order
+    # functions: zero exchanges, zero Python — it must run at scan speed
+    p = plan_of(Q.q_dedup_paragraphs(spark, SF))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_mixture_and_lr_are_single_agg_scans(spark, Q):
+    # stratified sampling + the LR quality classifier each cost exactly one
+    # hash exchange (the final narrow-key aggregation); every feature is a
+    # codegen expression computed during the scan
+    for fn in (Q.q_sample_mixture, Q.q_quality_lr):
+        p = plan_of(fn(spark, SF))
+        assert p.count("Exchange hashpartitioning") == 1, fn.__name__
+        assert "EvalPython" not in p, fn.__name__

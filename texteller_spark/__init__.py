@@ -22,6 +22,11 @@ from .operators.similarity import (  # noqa: F401
     lsh_near_dup_pairs,
     lsh_topk,
 )
+from .operators.graph import (  # noqa: F401
+    extract_links,
+    link_edges,
+    pagerank,
+)
 from .operators.normalize import normalize_text  # noqa: F401
 from .operators.packing import (  # noqa: F401
     exclusive_prefix_sum,
@@ -59,6 +64,9 @@ __all__ = [
     "gopher_flags",
     "redact_pii",
     "normalize_text",
+    "extract_links",
+    "link_edges",
+    "pagerank",
     "exclusive_prefix_sum",
     "pack_sequences",
     "brute_force_topk",

@@ -1,0 +1,127 @@
+"""Web-graph operators for crawl curation: anchor extraction, the
+domain-level link graph, and PageRank-style domain centrality.
+
+Large-crawl pipelines rank hosts by link centrality and use the score as a
+document-quality prior (Common Crawl publishes exactly this as its
+harmonic-centrality host ranking; the OPT/CCNet lineage filters on it).
+The reference repo has no graph stage — this is part of the
+training-data-pipeline surface the engine adds on top of the reference's
+extraction semantics (reference analog: none; cited per-round in SURVEY §2).
+
+Scale posture:
+
+* anchor extraction is one JVM ``regexp_extract_all`` at scan speed — the
+  html bytes never shuffle; only the exploded (src_domain, dst_domain)
+  pairs (two short strings) reach the edge aggregation;
+* the edge table aggregates map-side (partial count) before its single
+  hash exchange on the pair key;
+* PageRank iterates on frames that are never wider than (node, rank) /
+  (src, dst, frac): at 10^7 domains that is a few hundred MB per round,
+  not a function of corpus bytes. The normalized edge frame is reused by
+  every round, so it is persisted once via the dedup cache contract —
+  callers release it with :func:`texteller_spark.operators.dedup.
+  release_caches` (or wrap in ``signature_cache()``), same as the pair
+  builders;
+* rounds are a fixed small count (default 3) so lineage stays shallow; no
+  checkpoint is needed (contrast ``duplicate_clusters``, whose round count
+  is data-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _materialize
+from .textops import registrable_domain
+
+__all__ = ["extract_links", "link_edges", "pagerank"]
+
+#: href extraction pattern — double-quoted hrefs on <a> tags. Identical
+#: literal under java.util.regex and RE2, so DuckDB oracles can evaluate
+#: the same pattern when they need to mirror (catalog oracles instead
+#: re-derive the expected links arithmetically, which verifies this whole
+#: chain end-to-end rather than mirroring it).
+HREF_RE = r"<a\s[^>]*href=\"([^\"]*)\""
+
+
+def extract_links(html: Column) -> Column:
+    """All double-quoted ``<a href>`` targets of an html string, in document
+    order — one JVM regex pass, no Python."""
+    return F.regexp_extract_all(html, F.lit(HREF_RE), 1)
+
+
+def link_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html_str",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Domain-level link graph: ``(src, dst, n_links)`` where src/dst are
+    registrable domains (eTLD+1) and n_links counts anchors between them.
+
+    The html column never survives past the scan stage: links are exploded
+    to narrow string pairs first, so the only exchange carries
+    (src, dst) — at web scale that is the difference between shuffling
+    anchor pairs and shuffling page bodies."""
+    url, html = F.col(url_col), F.col(html_col)
+    pairs = pages.select(
+        registrable_domain(url).alias("src"),
+        F.explode(extract_links(html)).alias("href"),
+    ).select("src", registrable_domain(F.col("href")).alias("dst"))
+    pairs = pairs.filter(F.length("dst") > 0)
+    if drop_self:
+        pairs = pairs.filter(F.col("src") != F.col("dst"))
+    return pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_links"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "n_links",
+) -> DataFrame:
+    """Weighted PageRank over an edge table, fixed ``iters`` rounds.
+
+    ``rank_{t+1}(v) = (1-d)/N + d * sum_{u->v} rank_t(u) * w(u,v)/W(u)``
+    with ``W(u)`` the total out-weight of ``u``; dangling nodes (no
+    out-edges) contribute no mass — the convention is part of the operator
+    contract so the SQL oracle computes the identical series.
+
+    Only ``(node, rank)`` and the normalized ``(src, dst, frac)`` frames
+    ever shuffle; the node count reaches the plan as a broadcast one-row
+    aggregate, not a driver-side ``.count()``, so the whole computation
+    stays one lazy plan. The normalized edge frame is persisted once (it
+    feeds every round) under the dedup cache contract — call
+    ``release_caches()`` when done."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    base = nodes.crossJoin(F.broadcast(n_row))  # (node, n): one-row broadcast
+    outw = e.groupBy("src").agg(F.sum("w").alias("tot"))
+    frac = _materialize(
+        e.join(outw, "src").select("src", "dst", (F.col("w") / F.col("tot")).alias("frac"))
+    )
+    d = float(damping)
+    ranks = base.select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+    for _ in range(iters):
+        mass = (
+            frac.join(ranks, frac["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("mass"))
+        )
+        ranks = base.join(mass, base["node"] == mass["dst"], "left").select(
+            "node",
+            (
+                (F.lit(1.0) - F.lit(d)) / F.col("n")
+                + F.lit(d) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks
