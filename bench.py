@@ -59,6 +59,15 @@ N_PDFS = int(os.environ.get("SPARK_GRAFT_BENCH_PDFS", "20000"))
 PDF_CORPUS = os.environ.get(
     "SPARK_GRAFT_BENCH_PDF_CORPUS", f"/tmp/texteller_pdfs_{N_PDFS}"
 )
+#: link-rich page corpus (anchors across 1000 registrable domains) and a
+#: 64-dim embedding corpus — both deterministic (hash-derived), both
+#: materialized once untimed like CORPUS/PDF_CORPUS
+LINK_CORPUS = os.environ.get(
+    "SPARK_GRAFT_BENCH_LINK_CORPUS", f"/tmp/texteller_links_{N_DOCS}"
+)
+EMB_CORPUS = os.environ.get(
+    "SPARK_GRAFT_BENCH_EMB_CORPUS", f"/tmp/texteller_embs_{N_DOCS}"
+)
 
 
 def force(df) -> None:
@@ -122,6 +131,86 @@ def main() -> None:
         return pdfs.select(
             "url", make_extract_pdf_udf()(F.col("pdf")).alias("text")
         )
+
+    def ensure_link_corpus():
+        # N_DOCS pages over 1000 registrable domains, three anchors each
+        # (two cross-domain, one www-host variant) — page:domain ratio ~100,
+        # the shape of a real crawl's host graph at this scale
+        if os.path.exists(LINK_CORPUS):
+            return
+        d = spark.range(N_DOCS).select(F.col("id").alias("doc_id"))
+        a1 = (F.col("doc_id") * 7 + 3) % 1000
+        a2 = (F.col("doc_id") * 13 + 5) % 1000
+        url = F.concat(
+            F.lit("https://www.site"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".com/p/"), F.col("doc_id").cast("string"),
+        )
+        html = F.concat(
+            F.lit('<html><body><a href="https://site'), a1.cast("string"),
+            F.lit('.com/x">t</a><p>y</p><a href="https://www.site'),
+            a2.cast("string"), F.lit('.com/q?x=1">u</a><a href="/rel">r</a>'
+                                     "</body></html>"),
+        )
+        d.select(url.alias("url"), html.alias("html_str")).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(LINK_CORPUS)
+
+    def ensure_emb_corpus():
+        # N_DOCS 64-dim vectors in 128 hash-placed blobs (blob = vec_id %
+        # 128) with +-0.3 noise: the clustered geometry semantic dedup
+        # presumes. Uniform random data would be wrong twice over — Voronoi
+        # cells of arbitrary seeds in 64-dim are massively skewed (one
+        # mega-cluster ~ half the corpus, re-deriving the O(n^2) pair join
+        # this operator exists to avoid), and near-dup structure wouldn't
+        # exist to find. Rows 0..127 are blob centers themselves, so Forgy
+        # seeds land one per blob.
+        if os.path.exists(EMB_CORPUS):
+            return
+        blob = F.col("id") % 128
+
+        def comp(i):
+            center = (F.pmod(F.hash(blob, F.lit(i)), F.lit(2001)) - 1000) / 1000.0
+            noise = (F.pmod(F.hash(F.col("id"), F.lit(i + 64)), F.lit(601)) - 300) / 1000.0
+            return (center + F.when(F.col("id") < 128, 0.0).otherwise(noise)).cast(
+                "float"
+            )
+
+        arr = F.array(*[comp(i) for i in range(64)])
+        spark.range(N_DOCS).select(
+            F.col("id").alias("vec_id"), arr.alias("embedding")
+        ).repartition(64).write.mode("overwrite").parquet(EMB_CORPUS)
+
+    def wide(path):
+        # ~25 MB of tiny parquet files collapses to 1-2 scan partitions
+        # (openCostInBytes packing) and would serialize the interpreted
+        # higher-order-function math below onto two cores — the exact
+        # `_widen` blind spot ADVICE flagged on dedup. Spread explicitly.
+        return spark.read.parquet(path).repartition(CPUS * 2)
+
+    def domain_rank_corpus():
+        # anchor extraction at scan speed over N_DOCS pages -> domain edge
+        # aggregation -> 3 PageRank rounds over the ~1000-node host graph
+        from texteller_spark.operators.graph import link_edges, pagerank
+
+        return pagerank(link_edges(wide(LINK_CORPUS)), iters=3)
+
+    def kmeans_corpus():
+        # distributed Lloyd over N_DOCS x 64-dim: map-only assignment under
+        # the broadcast centroid row + one 64-key exchange per round
+        from texteller_spark.operators.clustering import kmeans_fit
+
+        return kmeans_fit(wide(EMB_CORPUS), k=64, iters=2, engine="arrow")
+
+    def semantic_dedup_corpus():
+        # SemDeDup at corpus scale: k=128 seed clusters bound the pair
+        # space to ~(N/k)^2 * k cosine evaluations
+        from texteller_spark.operators.clustering import (
+            seed_centroids,
+            semantic_dedup,
+        )
+
+        e = wide(EMB_CORPUS)
+        return semantic_dedup(e, seed_centroids(e, 128), threshold=0.9, engine="arrow")
 
     def curation_signals():
         # full crawl-curation signal pass over the corpus in ONE scan —
@@ -207,6 +296,9 @@ def main() -> None:
         "text_bpe_tokens": lambda: Q.q_bpe_tokens(spark, SF_DIR),
         "sim_cosine_topk": lambda: Q.q_cosine_topk(spark, SF_DIR),
         "sim_ann_join": lambda: Q.q_ann_join(spark, SF_DIR),
+        "web_domain_rank": domain_rank_corpus,
+        "cluster_kmeans": kmeans_corpus,
+        "dedup_semantic": semantic_dedup_corpus,
         "curation_signals": curation_signals,
         "curation_pii_gopher": curation_pii_gopher,
         "text_vocab_topk": vocab_topk_corpus,
@@ -220,6 +312,10 @@ def main() -> None:
         builders = {k: v for k, v in builders.items() if k in ONLY}
     if "pipeline_extract_pdf" in builders:
         ensure_pdf_corpus()
+    if "web_domain_rank" in builders:
+        ensure_link_corpus()
+    if "cluster_kmeans" in builders or "dedup_semantic" in builders:
+        ensure_emb_corpus()
 
     # --- warmup pass (excluded): primes JVM JIT, whole-stage-codegen cache,
     # Python workers, and the OS page cache for the whole corpus, exactly

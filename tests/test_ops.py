@@ -829,3 +829,158 @@ def test_pagerank_uniform_cycle_is_uniform(spark):
         release_caches()
     for v in got.values():
         assert abs(v - 1.0 / 3.0) < 1e-12
+
+
+def _kmeans_reference(vecs, k, iters):
+    """Pure-Python mirror of clustering.kmeans_fit's contract: rounded
+    distances, ties to lowest cid, per-dim avg rounded at each boundary,
+    empty clusters keep the previous centroid."""
+    ids = sorted(vecs)
+    cents = {i: [float(x) for x in vecs[i]] for i in ids[:k]}
+    counts = {i: 0 for i in cents}
+    for _ in range(iters):
+        members = {c: [] for c in cents}
+        for i in ids:
+            best = min(
+                (round(sum((a - b) * (a - b) for a, b in zip(vecs[i], cents[c])), 6), c)
+                for c in cents
+            )
+            members[best[1]].append(i)
+        counts = {c: len(m) for c, m in members.items()}
+        for c, m in members.items():
+            if m:
+                d = len(cents[c])
+                cents[c] = [
+                    round(sum(vecs[i][p] for i in m) / len(m), 6) for p in range(d)
+                ]
+    return cents, counts
+
+
+def test_kmeans_fit_matches_reference_and_is_partition_invariant(spark):
+    import random
+
+    from texteller_spark.operators.clustering import kmeans_fit
+    from texteller_spark.operators.dedup import release_caches
+
+    rng = random.Random(11)
+    dim, k = 8, 3
+    # two tight blobs + spread: exercises convergence and non-trivial moves
+    vecs = {}
+    for i in range(30):
+        center = [0.0] * dim if i % 3 == 0 else ([5.0] * dim if i % 3 == 1 else [-4.0] * dim)
+        vecs[i] = [c + rng.uniform(-1, 1) for c in center]
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    try:
+        got = {
+            r.cid: (r.n, [round(x, 6) for x in r.cent])
+            for r in kmeans_fit(df, k=k, iters=2, dim=dim).collect()
+        }
+        got_shuffled = {
+            r.cid: (r.n, [round(x, 6) for x in r.cent])
+            for r in kmeans_fit(df.repartition(7), k=k, iters=2, dim=dim).collect()
+        }
+    finally:
+        release_caches()
+    cents, counts = _kmeans_reference(vecs, k, iters=2)
+    assert set(got) == set(cents)
+    for c in cents:
+        assert got[c][0] == counts[c], c
+        assert got[c][1] == pytest.approx(cents[c], abs=1e-9), c
+    assert got_shuffled == got  # layout independence
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from texteller_spark.operators.clustering import kmeans_fit
+    from texteller_spark.operators.dedup import release_caches
+
+    # seed 1 duplicates seed 0 (the way clusters actually empty under
+    # Forgy init): every row ties or loses to cid 0, so cluster 1 gets no
+    # members and must keep its previous centroid instead of going null
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [0.5, 0.5]), (3, [1.6, 1.4]),
+            (4, [0.4, 0.6]), (5, [1.5, 0.6])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    try:
+        got = {r.cid: (r.n, r.cent) for r in kmeans_fit(df, k=2, iters=1, dim=2).collect()}
+        # a second round is still well-defined: the kept centroid re-enters
+        # assignment and recaptures the rows nearest the original seed
+        got2 = {r.cid: r.n for r in kmeans_fit(df, k=2, iters=2, dim=2).collect()}
+    finally:
+        release_caches()
+    assert got[1][0] == 0  # emptied on the tie-break to the lowest cid
+    assert got[1][1] == [1.0, 1.0]  # kept its previous centroid, not null
+    assert got[0][0] == 6
+    assert got[0][1] == [1.0, 0.85]
+    assert got2 == {0: 3, 1: 3}
+
+
+def test_semantic_dedup_keep_first_within_cluster_only(spark):
+    from texteller_spark.operators.clustering import seed_centroids, semantic_dedup
+    from texteller_spark.operators.dedup import release_caches
+
+    # cluster A near (0,0): ids 0,2,3 with 2,3 near-dups of 0
+    # cluster B near (9,9): id 1 (seed), id 4 a near-dup of 1
+    # id 5: zero vector -> undefined cosine -> always kept
+    rows = [
+        (0, [1.0, 0.0]), (1, [9.0, 9.0]), (2, [1.0, 0.01]), (3, [0.99, 0.0]),
+        (4, [8.9, 9.1]), (5, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    try:
+        got = {r.id: (r.cid, r.keep) for r in
+               semantic_dedup(df, seed_centroids(df, 2), threshold=0.9).collect()}
+        got_shuffled = {r.id: (r.cid, r.keep) for r in
+                        semantic_dedup(df.repartition(5), seed_centroids(df, 2),
+                                       threshold=0.9).collect()}
+    finally:
+        release_caches()
+    assert len(got) == 6
+    keeps = {i: got[i][1] for i in got}
+    assert keeps == {0: True, 1: True, 2: False, 3: False, 4: False, 5: True}
+    # cross-cluster near-identity is NOT deduped: 0 and 3 same cluster, but
+    # 1 vs 4 dedups only because they share cluster B
+    assert got[1][0] == got[4][0]
+    assert got[0][0] != got[1][0]
+    assert got_shuffled == got
+
+
+def test_clustering_arrow_engine_matches_jvm(spark):
+    import random
+
+    from texteller_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+        seed_centroids,
+        semantic_dedup,
+    )
+    from texteller_spark.operators.dedup import release_caches
+
+    rng = random.Random(23)
+    dim, k = 8, 4
+    rows = []
+    for i in range(60):
+        center = [float(3 * (i % k))] * dim
+        rows.append((i, [c + rng.uniform(-1, 1) for c in center]))
+    rows.append((60, [0.0] * dim))  # zero vector: always kept, never NaN
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = seed_centroids(df, k)
+    try:
+        a_j = sorted((r.vec_id, r.cid) for r in
+                     assign_clusters(df, cents).select("vec_id", "cid").collect())
+        a_a = sorted((r.vec_id, r.cid) for r in
+                     assign_clusters(df, cents, engine="arrow")
+                     .select("vec_id", "cid").collect())
+        f_j = sorted((r.cid, r.n, tuple(round(x, 6) for x in r.cent)) for r in
+                     kmeans_fit(df, k=k, iters=2, dim=dim).collect())
+        f_a = sorted((r.cid, r.n, tuple(round(x, 6) for x in r.cent)) for r in
+                     kmeans_fit(df, k=k, iters=2, dim=dim, engine="arrow").collect())
+        s_j = sorted(tuple(r) for r in
+                     semantic_dedup(df, cents, threshold=0.9).collect())
+        s_a = sorted(tuple(r) for r in
+                     semantic_dedup(df, cents, threshold=0.9, engine="arrow").collect())
+    finally:
+        release_caches()
+    assert a_a == a_j
+    assert f_a == f_j
+    assert s_a == s_j
+    assert len(s_a) == 61

@@ -353,3 +353,35 @@ def test_mixture_and_lr_are_single_agg_scans(spark, Q):
         p = plan_of(fn(spark, SF))
         assert p.count("Exchange hashpartitioning") == 1, fn.__name__
         assert "EvalPython" not in p, fn.__name__
+
+
+def test_kmeans_assignment_is_map_only_broadcast(spark, Q):
+    # the only join shapes allowed are the one-row centroid broadcast
+    # (BroadcastNestedLoopJoin over a single collect_list row) and k-key
+    # hash joins for the centroid update; a CartesianProduct or Python
+    # eval anywhere means assignment stopped being a scan-speed map
+    from texteller_spark.operators.dedup import release_caches
+
+    try:
+        p = plan_of(Q.q_cluster_kmeans(spark, SF))
+    finally:
+        release_caches()
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "Exchange rangepartitioning" not in p  # no global sorts
+
+
+def test_semantic_dedup_pairs_join_is_cluster_keyed(spark, Q):
+    # the pair space must be keyed on the cluster id (the SemDeDup
+    # bound) — an unkeyed theta join would re-derive the O(n^2) baseline
+    from texteller_spark.operators.dedup import release_caches
+
+    try:
+        p = plan_of(Q.q_semantic_dedup(spark, SF))
+    finally:
+        release_caches()
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    joins = [l for l in p.splitlines()
+             if "HashJoin" in l or "SortMergeJoin" in l]
+    assert any("_ca" in l and "_cb" in l for l in joins), joins

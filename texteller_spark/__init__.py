@@ -27,6 +27,12 @@ from .operators.graph import (  # noqa: F401
     link_edges,
     pagerank,
 )
+from .operators.clustering import (  # noqa: F401
+    assign_clusters,
+    kmeans_fit,
+    seed_centroids,
+    semantic_dedup,
+)
 from .operators.normalize import normalize_text  # noqa: F401
 from .operators.packing import (  # noqa: F401
     exclusive_prefix_sum,
@@ -67,6 +73,10 @@ __all__ = [
     "extract_links",
     "link_edges",
     "pagerank",
+    "assign_clusters",
+    "kmeans_fit",
+    "seed_centroids",
+    "semantic_dedup",
     "exclusive_prefix_sum",
     "pack_sequences",
     "brute_force_topk",

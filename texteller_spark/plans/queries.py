@@ -1471,6 +1471,106 @@ FROM ranked WHERE rn <= {k}
 """
 
 
+def q_cluster_kmeans(spark, sf):
+    """Distributed Lloyd k-means over the embeddings table (k=8, 2 rounds,
+    Forgy seeds = the 8 lowest vec_ids): the clustering stage of
+    cluster-then-dedup semantic curation (SemDeDup). Assignment is map-only
+    under a one-row broadcast centroid array; each update is one k-key
+    exchange with map-side partial per-dimension avg. Output is the final
+    centroid set exploded to (cid, n_members, pos, val) scalars so the
+    oracle verifies every component value-exactly."""
+    from ..operators.clustering import kmeans_fit
+
+    e = _t(spark, sf, "embeddings")
+    fitted = kmeans_fit(e, k=8, iters=2, dim=_EMB_DIM)
+    return fitted.select(
+        "cid",
+        F.col("n").alias("n_members"),
+        F.posexplode("cent").alias("pos", "val"),
+    )
+
+
+def _kmeans_assign_cte(name: str, cents: str, dim: int) -> str:
+    """Assignment round as SQL: nearest centroid by squared L2, distance
+    ROUNDed before comparison and ties to the lowest cid — the exact
+    contract of ``clustering._nearest`` (same element order in the
+    summation, so the doubles agree bit-for-bit before rounding)."""
+    return f"""{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i]))), 6),
+                      c.cid) AS rn
+    FROM emb e CROSS JOIN {cents} c)
+  WHERE rn = 1)"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd rounds as chained CTEs: assignment (rounded-distance
+    argmin), per-dimension AVG rounded at the round boundary (the same
+    rounding ``kmeans_fit`` applies, which pins the trajectory across
+    engines), empty clusters keeping the previous centroid via COALESCE."""
+    ctes = [
+        "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cent FROM emb ORDER BY vec_id LIMIT {k})",
+    ]
+    for r in range(iters):
+        ctes.append(_kmeans_assign_cte(f"a{r}", f"c{r}", dim))
+        ctes.append(
+            f"""p{r} AS (
+  SELECT cid, pos, ROUND(AVG(v[pos]), 6) AS val, COUNT(*) AS n
+  FROM a{r}, range(1, {dim + 1}) t(pos) GROUP BY cid, pos)"""
+        )
+        ctes.append(
+            f"""c{r + 1} AS (
+  SELECT p.cid, COALESCE(g.cent, p.cent) AS cent, COALESCE(g.n, 0) AS n
+  FROM c{r} p LEFT JOIN (
+    SELECT cid, list(val ORDER BY pos) AS cent, MAX(n) AS n
+    FROM p{r} GROUP BY cid) g USING (cid))"""
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT c.cid, CAST(c.n AS BIGINT) AS n_members,
+       CAST(t.pos - 1 AS INT) AS pos, c.cent[t.pos] AS val
+FROM c{iters} c, range(1, {dim + 1}) t(pos)
+"""
+
+
+def q_semantic_dedup(spark, sf):
+    """SemDeDup: assign every embedding to its nearest seed centroid, then
+    drop rows with a >= 0.45-cosine LOWER-id neighbor in the SAME cluster
+    — within-cluster pair space, bounded by cluster size instead of corpus
+    size. Decision frame (vec_id, cid, keep)."""
+    from ..operators.clustering import seed_centroids, semantic_dedup
+
+    e = _t(spark, sf, "embeddings")
+    return semantic_dedup(e, seed_centroids(e, 8), threshold=0.45).select(
+        F.col("id").alias("vec_id"), "cid", "keep"
+    )
+
+
+def _semantic_dedup_sql(k: int = 8, dim: int = 64) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cent FROM emb ORDER BY vec_id LIMIT {k}),
+{_kmeans_assign_cte("a0", "c0", dim)},
+pairs AS (
+  SELECT b.vec_id AS ib
+  FROM a0 a JOIN a0 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(a.v, x -> x * x)) > 0
+    AND list_sum(list_transform(b.v, x -> x * x)) > 0
+    AND ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 4) >= 0.45
+)
+SELECT a0.vec_id, a0.cid, (a0.vec_id NOT IN (SELECT ib FROM pairs)) AS keep
+FROM a0
+"""
+
+
 def q_rank_frames(spark, sf):
     """W-family frame specs: rank() per user by value, plus a 3-row moving
     average over event time (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) —
@@ -2831,8 +2931,8 @@ FROM built
 # loses no information. All 73 run uncapped in tests/test_oracle_catalog.py.
 QUERIES = {
     "flagship_extract": flagship,
-    "q1_pricing_summary": q_pricing_summary,
-    "j2_region_rollup": q_region_rollup,
+    "cluster_kmeans": q_cluster_kmeans,
+    "dedup_semantic": q_semantic_dedup,
     "q9_profit_star": q_profit_by_nation_brand,
     "j3_range_join": q_range_join,
     "j4_sessionize": q_sessionize,
@@ -2881,6 +2981,8 @@ QUERIES = {
     "mm_media_frames": q_media_frames,
     "mm_media_resize": q_media_resize,
     # --- tail: green in r01 AND r02; safe under a driver entry cap ---
+    "q1_pricing_summary": q_pricing_summary,
+    "j2_region_rollup": q_region_rollup,
     "w2_interval_merge": q_interval_merge,
     "k1_topk_per_group": q_topk_per_group,
     "dedup_exact": q_dedup_exact,
@@ -2955,6 +3057,8 @@ ORACLES = {
     "a3_rollup": _SQL_ROLLUP,
     "dedup_embedding_cosine": _SQL_EMB_NEAR_DUP,
     "dedup_embedding_lsh": _emb_lsh_sql(),
+    "cluster_kmeans": _kmeans_sql(),
+    "dedup_semantic": _semantic_dedup_sql(),
     "sim_ann_lsh": _ann_lsh_sql(),
     "sim_ann_join": _ann_join_sql(),
     "dedup_minhash_lsh": _minhash_sql(),
