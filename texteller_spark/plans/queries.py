@@ -1507,11 +1507,13 @@ def _kmeans_assign_cte(name: str, cents: str, dim: int) -> str:
   WHERE rn = 1)"""
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled Lloyd rounds as chained CTEs: assignment (rounded-distance
-    argmin), per-dimension AVG rounded at the round boundary (the same
-    rounding ``kmeans_fit`` applies, which pins the trajectory across
-    engines), empty clusters keeping the previous centroid via COALESCE."""
+def _kmeans_ctes(k: int, iters: int, dim: int) -> list[str]:
+    """The unrolled-Lloyd CTE chain (emb, c0, a0, p0, c1, ...): assignment
+    (rounded-distance argmin), per-dimension AVG rounded at the round
+    boundary (the same rounding ``kmeans_fit`` applies, which pins the
+    trajectory across engines), empty clusters keeping the previous
+    centroid via COALESCE. Shared by the fit oracle and the
+    fitted-centroid SemDeDup oracle."""
     ctes = [
         "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
         " FROM embeddings)",
@@ -1531,7 +1533,11 @@ def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     SELECT cid, list(val ORDER BY pos) AS cent, MAX(n) AS n
     FROM p{r} GROUP BY cid) g USING (cid))"""
         )
-    joined = ",\n".join(ctes)
+    return ctes
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    joined = ",\n".join(_kmeans_ctes(k, iters, dim))
     return f"""
 WITH {joined}
 SELECT c.cid, CAST(c.n AS BIGINT) AS n_members,
@@ -1568,6 +1574,43 @@ pairs AS (
 )
 SELECT a0.vec_id, a0.cid, (a0.vec_id NOT IN (SELECT ib FROM pairs)) AS keep
 FROM a0
+"""
+
+
+def q_semantic_dedup_fitted(spark, sf):
+    """The full SemDeDup recipe: fit centroids with 2 Lloyd rounds, THEN
+    dedup within the fitted clusters — fitted (balanced) centroids are
+    what bounds the pair space in practice; raw sample seeds over skewed
+    data can leave one mega-cluster that re-derives the O(n²) join (the
+    scale lesson recorded in ROUND3.md). Composes `kmeans_fit` output as
+    the centroid model for `semantic_dedup` in ONE lazy plan."""
+    from ..operators.clustering import kmeans_fit, semantic_dedup
+
+    e = _t(spark, sf, "embeddings")
+    fitted = kmeans_fit(e, k=8, iters=2, dim=_EMB_DIM).select("cid", "cent")
+    return semantic_dedup(e, fitted, threshold=0.45).select(
+        F.col("id").alias("vec_id"), "cid", "keep"
+    )
+
+
+def _semantic_dedup_fitted_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Fitted-centroid SemDeDup oracle: the shared Lloyd CTE chain up to
+    c{iters}, one more assignment round against those centroids, then the
+    identical within-cluster keep-first pair rule."""
+    ctes = _kmeans_ctes(k, iters, dim)
+    ctes.append(_kmeans_assign_cte("af", f"c{iters}", dim))
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+pairs AS (
+  SELECT b.vec_id AS ib
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(a.v, x -> x * x)) > 0
+    AND list_sum(list_transform(b.v, x -> x * x)) > 0
+    AND ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 4) >= 0.45
+)
+SELECT af.vec_id, af.cid, (af.vec_id NOT IN (SELECT ib FROM pairs)) AS keep
+FROM af
 """
 
 
@@ -2933,7 +2976,7 @@ QUERIES = {
     "flagship_extract": flagship,
     "cluster_kmeans": q_cluster_kmeans,
     "dedup_semantic": q_semantic_dedup,
-    "q9_profit_star": q_profit_by_nation_brand,
+    "dedup_semantic_fitted": q_semantic_dedup_fitted,
     "j3_range_join": q_range_join,
     "j4_sessionize": q_sessionize,
     "web_link_graph": q_link_graph,
@@ -2983,6 +3026,7 @@ QUERIES = {
     # --- tail: green in r01 AND r02; safe under a driver entry cap ---
     "q1_pricing_summary": q_pricing_summary,
     "j2_region_rollup": q_region_rollup,
+    "q9_profit_star": q_profit_by_nation_brand,
     "w2_interval_merge": q_interval_merge,
     "k1_topk_per_group": q_topk_per_group,
     "dedup_exact": q_dedup_exact,
@@ -3059,6 +3103,7 @@ ORACLES = {
     "dedup_embedding_lsh": _emb_lsh_sql(),
     "cluster_kmeans": _kmeans_sql(),
     "dedup_semantic": _semantic_dedup_sql(),
+    "dedup_semantic_fitted": _semantic_dedup_fitted_sql(),
     "sim_ann_lsh": _ann_lsh_sql(),
     "sim_ann_join": _ann_join_sql(),
     "dedup_minhash_lsh": _minhash_sql(),
