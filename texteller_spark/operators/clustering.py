@@ -10,21 +10,29 @@ but driven by a learned partition of the embedding space). The reference
 repo has no clustering stage — this is training-data-pipeline surface on
 top of the reference's extraction semantics (reference analog: none).
 
-Everything here is built-in JVM expressions — no Arrow kernel, no Python
-in any plan:
+Each operator carries two engines with pinned-identical results:
 
-* **assignment** is map-only: the centroid table collapses to a ONE-ROW
-  broadcast (``collect_list`` of (cid, cent) structs) and the per-row
-  argmin is a higher-order ``aggregate`` over that array with an
-  order-independent (dist, cid) accumulator — zero shuffle of the
-  embedding column, whole-stage-codegen'd;
-* **the Lloyd update** is one k-key hash exchange per round with map-side
-  partial aggregation (per-dimension ``avg`` — d fixed small), so a round
-  costs one corpus scan + one tiny shuffle regardless of corpus size;
-* **semantic dedup** self-joins on the cluster id, so candidate pairs per
-  row are bounded by cluster size — at 10^12 rows you raise ``k`` with the
-  corpus (SemDeDup uses ~100k clusters) and the join never degenerates
-  toward the O(n²) exact baseline.
+* ``engine='jvm'`` (default; the oracle/catalog path) is built-in JVM
+  expressions only — assignment is map-only (the centroid table collapses
+  to a ONE-ROW broadcast ``collect_list`` of (cid, cent) structs; the
+  per-row argmin is a higher-order ``aggregate`` with an
+  order-independent (dist, cid) accumulator), the Lloyd update is one
+  k-key hash exchange per round with map-side partial per-dimension
+  ``avg``, and semantic dedup self-joins on the cluster id so candidate
+  pairs per row are bounded by cluster size. Zero Python anywhere — but
+  note Catalyst higher-order functions are CodegenFallback (interpreted
+  per element), so this engine's sweet spot is small k and
+  oracle-verified correctness.
+* ``engine='arrow'`` (the corpus-scale path) is the MLlib-shaped variant:
+  the k-row centroid model round-trips through the driver (an O(k*d)
+  aggregate — see :func:`_collect_centroids`) so assignment is one BLAS
+  matmul per Arrow batch, and the SemDeDup pair decisions resolve per
+  cluster in one grouped batch. Measured ~10-25x over the interpreted
+  engine at 100k rows x 64 dims.
+
+At 10^12 rows you raise ``k`` with the corpus (SemDeDup uses ~100k
+clusters) and the pair join never degenerates toward the O(n²) exact
+baseline.
 
 Determinism across engines and layouts: seeds are the k lowest-id rows
 (Forgy init — oracle-expressible, no RNG), every distance and every
