@@ -385,3 +385,23 @@ def test_semantic_dedup_pairs_join_is_cluster_keyed(spark, Q):
     joins = [l for l in p.splitlines()
              if "HashJoin" in l or "SortMergeJoin" in l]
     assert any("_ca" in l and "_cb" in l for l in joins), joins
+
+
+def test_semantic_dedup_arrow_is_one_shuffle(spark):
+    # the corpus-scale engine's contract: vectors move exactly once (the
+    # cid-keyed exchange feeding the grouped pair kernel); assignment adds
+    # an Arrow eval, never row-at-a-time Python
+    from pyspark.sql import functions as F
+
+    from texteller_spark.operators.clustering import seed_centroids, semantic_dedup
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.pmod(F.hash("id", F.lit(i)), F.lit(199)) / 100.0)
+                  for i in range(4)]).alias("embedding"),
+    )
+    p = plan_of(semantic_dedup(df, seed_centroids(df, 4), engine="arrow"))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
