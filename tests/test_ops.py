@@ -984,3 +984,27 @@ def test_clustering_arrow_engine_matches_jvm(spark):
     assert f_a == f_j
     assert s_a == s_j
     assert len(s_a) == 61
+
+
+def test_semantic_dedup_blocked_sim_matches_single_block(spark):
+    import random
+
+    from texteller_spark.operators.clustering import seed_centroids, semantic_dedup
+    from texteller_spark.operators.dedup import release_caches
+
+    rng = random.Random(31)
+    rows = [(i, [3.0 * (i % 3) + rng.uniform(-1, 1) for _ in range(6)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = seed_centroids(df, 3)
+    try:
+        full = sorted(tuple(r) for r in
+                      semantic_dedup(df, cents, threshold=0.8, engine="arrow").collect())
+        blocked = sorted(tuple(r) for r in
+                         semantic_dedup(df, cents, threshold=0.8, engine="arrow",
+                                        sim_block_cols=3).collect())
+        jvm = sorted(tuple(r) for r in
+                     semantic_dedup(df, cents, threshold=0.8).collect())
+    finally:
+        release_caches()
+    assert blocked == full == jvm

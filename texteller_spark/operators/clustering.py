@@ -267,6 +267,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     round_digits: int = 4,
     engine: str = "jvm",
+    sim_block_cols: int | None = None,
 ) -> DataFrame:
     """SemDeDup decision frame ``(id, cid, keep)``: a row is dropped when
     some LOWER-id row in the SAME cluster has ``round(cosine,
@@ -291,9 +292,12 @@ def semantic_dedup(
     (``applyInPandas`` over ``cid``): a normalized matmul replaces the
     interpreted per-pair higher-order cosine — same rounded-cosine
     admission, same keep-first-by-id contract (parity pinned in tests).
-    One shuffle total (vectors move once, keyed by cid); each cluster must
-    fit in a worker's Arrow batch, which is SemDeDup's own operating
-    assumption — raise k as the corpus grows."""
+    One shuffle total (vectors move once, keyed by cid). The similarity
+    matrix is computed in column blocks (``sim_block_cols``, auto-sized to
+    ~2^27 doubles) so per-group memory is O(n*d + n*block), never O(n²) —
+    a skewed mega-cluster degrades to more block matmuls, not an OOM; the
+    cluster's VECTORS must still fit one worker (SemDeDup's operating
+    assumption — raise k as the corpus grows)."""
     from .dedup import _materialize
 
     if engine == "arrow":
@@ -301,6 +305,7 @@ def semantic_dedup(
             df, centroids, id_col, vec_col, engine="arrow"
         ).select(F.col(id_col).alias("id"), "cid", _as_double(F.col(vec_col)).alias("_v"))
         thr = float(threshold)
+        block = sim_block_cols
 
         def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
             ids = pdf["id"].to_numpy()
@@ -309,10 +314,17 @@ def semantic_dedup(
             nrm = np.sqrt((x * x).sum(axis=1))
             keep = np.ones(len(ids), dtype=bool)
             nz = nrm > 0
-            if nz.sum() > 1:
+            n = int(nz.sum())
+            if n > 1:
                 u = x[nz] / nrm[nz][:, None]
-                sim = np.round(u @ u.T, round_digits)
-                dup = np.triu(sim >= thr, k=1).any(axis=0)
+                c = block or max(1, (1 << 27) // n)
+                dup = np.zeros(n, dtype=bool)
+                rows = np.arange(n)
+                for j0 in range(0, n, c):
+                    j1 = min(j0 + c, n)
+                    sim = np.round(u @ u[j0:j1].T, round_digits)
+                    below = rows[:, None] < np.arange(j0, j1)[None, :]
+                    dup[j0:j1] |= ((sim >= thr) & below).any(axis=0)
                 kz = keep[nz]
                 kz[dup] = False
                 keep[nz] = kz
