@@ -147,20 +147,52 @@ def test_k3_cap_cuts_at_token_safe_boundary(body):
         if len(s) <= cap:
             assert out == s  # under-cap inputs pass through untouched
             continue
-        # a truncated output must be a parseable prefix
+        # a truncated output must be a parseable prefix, possibly CLOSED by
+        # appended '}' (the degenerate-depth fallback): split the output at
+        # the longest shared prefix with the source — everything past it
+        # must be closing braces only
         assert len(out) <= cap
-        assert out == s[: len(out)]
+        p = 0
+        while p < len(out) and p < len(s) and out[p] == s[p]:
+            p += 1
+        assert set(out[p:]) <= {"}"}, (s, cap, out)
         assert _unclosed_openers(out) == 0, (s, cap, out)
-        # never ends mid-command: if the cut ends in a \command's letter
-        # run (odd number of backslashes right before the letters — an even
-        # run is escaped backslashes followed by plain text), the source
-        # must not continue with another letter
-        m = re.search(r"([a-zA-Z]+)$", out)
+        # never ends mid-command: if the source-prefix part ends in a
+        # \command's letter run (odd number of backslashes right before the
+        # letters — an even run is escaped backslashes followed by plain
+        # text), the source must not continue with another letter
+        pre = out[:p]
+        m = re.search(r"([a-zA-Z]+)$", pre)
         if m:
-            head = out[: m.start()]
+            head = pre[: m.start()]
             n_bs = len(head) - len(head.rstrip("\\"))
             if n_bs % 2 == 1:
-                assert not s[len(out)].isalpha(), (s, cap, out)
+                assert not s[p].isalpha(), (s, cap, out)
+
+
+def test_k3_cap_degenerate_depth_falls_back_to_closed_cut():
+    """r3 ADVICE: an early-opened never-closed brace must not collapse the
+    capped output to a near-empty prefix — the fallback cuts at a token
+    boundary and closes the open braces, keeping most of the budget."""
+    from texteller_spark.operators.recognize import _cap_decode
+
+    s = "\\frac{" + "a" * 100
+    out = _cap_decode(s, max_chars=50)
+    assert len(out) <= 50
+    assert len(out) >= 25  # keeps at least half the budget (not '\\frac')
+    assert out.startswith("\\frac{aaaa") and out.endswith("}")
+    assert out.count("{") == out.count("}")
+
+    # nested never-closing depth: every open brace gets closed, still ≥ half
+    s2 = "\\a{b{c{d{" + "x" * 200
+    out2 = _cap_decode(s2, max_chars=40)
+    assert len(out2) <= 40 and len(out2) >= 20
+    assert out2.count("{") == out2.count("}")
+
+    # a depth-0 cut that keeps most of the budget is still preferred
+    s3 = ("\\alpha " * 20)[:-1]
+    out3 = _cap_decode(s3, max_chars=50)
+    assert out3 == s3[: len(out3)] and "}" not in out3
 
 
 # --- Spark-level operator tests ---------------------------------------------

@@ -87,6 +87,26 @@ def test_length_bounds_payload_even_with_binary_cr_tail_and_keywords():
     assert extract_pdf_text(body2) == "indirect"
 
 
+def test_indirect_length_with_multidigit_object_number_not_misparsed():
+    # r3 ADVICE: «/Length 70 0 R» let a bare (\d+)(?!\s+\d+\s+R) backtrack
+    # to length=7; the anchored regex must yield NO match on any indirect
+    # ref regardless of object-number width
+    from texteller_spark.sources.pdf import _LENGTH_RE
+
+    assert _LENGTH_RE.search(b"/Length 70 0 R") is None
+    assert _LENGTH_RE.search(b"/Length 7 0 R") is None
+    assert _LENGTH_RE.search(b"/Length 123 45 R") is None
+    assert _LENGTH_RE.search(b"/Length 70").group(1) == b"70"
+    assert _LENGTH_RE.search(b"/Length 70 >>").group(1) == b"70"
+    # end-to-end: multi-digit indirect ref degrades to keyword search
+    content = b"BT (indirect2) Tj ET"
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 70 0 R >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(body) == "indirect2"
+
+
 def test_compressed_is_smaller_and_equal():
     pages = [["repetition " * 50]]
     a = build_pdf(pages, compress=True)

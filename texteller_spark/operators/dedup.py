@@ -77,9 +77,16 @@ def _materialize(df: DataFrame) -> DataFrame:
     ``release_caches()`` between uses (or build pairs inside ``with
     signature_cache():``) or cache entries accumulate for the session
     lifetime."""
-    out = df.persist()
-    out.count()  # eager: both join sides must read the cache, not race to fill it
+    # The persist + eager count happen UNDER _CACHED_LOCK: _local_checkpoint
+    # captures "RDD ids that appeared during my checkpoint" as an id delta
+    # under the same lock, so a concurrent pair builder's cached RDD must
+    # never land inside that window (it would be adopted by a foreign
+    # _CheckpointHandle and unpersisted when that round is superseded —
+    # a silent cache eviction, recompute not wrong results). Serializing
+    # driver-side materializations is the cheap price.
     with _CACHED_LOCK:
+        out = df.persist()
+        out.count()  # eager: both join sides must read the cache, not race to fill it
         _CACHED.append(out)
     return out
 

@@ -60,11 +60,20 @@ def _cap_decode(s: str, max_chars: int = MAX_REC_CHARS) -> str:
     escaped pair, and must leave braces balanced (otherwise the emitted
     LaTeX is unparseable — the r2 verdict's K3 nit). One linear scan: cut
     points are positions after a complete token where the running brace
-    depth is zero."""
+    depth is zero.
+
+    Degenerate-depth fallback (r3 ADVICE): a formula that opens a brace
+    early and never returns to depth 0 within the cap would collapse to a
+    near-empty prefix under the depth-0 rule — far more content loss than
+    the cap asks for. When the depth-0 cut keeps less than half the budget,
+    cut instead at the latest token boundary whose ``position + depth``
+    still fits the cap and CLOSE the open braces explicitly — balanced,
+    token-complete, and within ``max_chars``."""
     if len(s) <= max_chars:
         return s
     depth = 0
     last_ok = 0
+    fb_pos, fb_depth = 0, 0  # latest token boundary where pos+depth <= cap
     i = 0
     while i < max_chars:
         c = s[i]
@@ -82,6 +91,8 @@ def _cap_decode(s: str, max_chars: int = MAX_REC_CHARS) -> str:
             i = j
             if depth == 0:
                 last_ok = i
+            if i + depth <= max_chars:
+                fb_pos, fb_depth = i, depth
             continue
         if c == "{":
             depth += 1
@@ -90,7 +101,11 @@ def _cap_decode(s: str, max_chars: int = MAX_REC_CHARS) -> str:
         i += 1
         if depth == 0:
             last_ok = i
-    return s[:last_ok]
+        if i + depth <= max_chars:
+            fb_pos, fb_depth = i, depth
+    if last_ok >= max_chars // 2 or last_ok >= fb_pos:
+        return s[:last_ok]
+    return s[:fb_pos] + "}" * fb_depth
 
 
 def recognize_text(raw: str) -> str:

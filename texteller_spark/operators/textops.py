@@ -150,9 +150,11 @@ def registrable_domain(url: Column, host: Column | None = None) -> Column:
 
 def url_normalize(url: Column) -> Column:
     """Canonical URL: lowercase scheme+host, default ports (:80/:443)
-    stripped, fragment dropped, trailing '?' / lone trailing '/' on a bare
-    host removed. Deterministic string surgery only — both engines compute
-    the identical value, so normalized URLs are cross-system dedup keys."""
+    stripped, fragment dropped, trailing '?' removed. A lone trailing '/'
+    on a bare host is deliberately KEPT ('https://localhost/' is already a
+    distinct canonical form; pinned in test_url_ops_values). Deterministic
+    string surgery only — both engines compute the identical value, so
+    normalized URLs are cross-system dedup keys."""
     no_frag = F.regexp_replace(url, r"#.*$", "")
     # lowercase scheme://host (the prefix up to the first '/', '?' past the
     # scheme) while preserving path/query case

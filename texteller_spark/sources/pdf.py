@@ -45,8 +45,11 @@ _ESCAPES = {
 }
 
 
-#: direct /Length value; the lookahead rejects indirect refs («/Length 7 0 R»)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+#: direct /Length value; ``(?!\d)`` anchors the digit run so the R-ref
+#: lookahead can't be defeated by backtracking (on «/Length 70 0 R» a bare
+#: ``(\d+)(?!\s+\d+\s+R)`` would retry at «7» and emit a bogus length 7 —
+#: indirect refs must yield NO match, i.e. length -1)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
 def _iter_streams(data: bytes) -> Iterator[bytes]:
