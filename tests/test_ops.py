@@ -906,11 +906,11 @@ def test_kmeans_fit_matches_reference_and_is_partition_invariant(spark):
     try:
         got = {
             r.cid: (r.n, [round(x, 6) for x in r.cent])
-            for r in kmeans_fit(df, k=k, iters=2, dim=dim).collect()
+            for r in kmeans_fit(df, k=k, iters=2, dim=dim, engine="jvm").collect()
         }
         got_shuffled = {
             r.cid: (r.n, [round(x, 6) for x in r.cent])
-            for r in kmeans_fit(df.repartition(7), k=k, iters=2, dim=dim).collect()
+            for r in kmeans_fit(df.repartition(7), k=k, iters=2, dim=dim, engine="jvm").collect()
         }
     finally:
         release_caches()
@@ -933,10 +933,10 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
             (4, [0.4, 0.6]), (5, [1.5, 0.6])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     try:
-        got = {r.cid: (r.n, r.cent) for r in kmeans_fit(df, k=2, iters=1, dim=2).collect()}
+        got = {r.cid: (r.n, r.cent) for r in kmeans_fit(df, k=2, iters=1, dim=2, engine="jvm").collect()}
         # a second round is still well-defined: the kept centroid re-enters
         # assignment and recaptures the rows nearest the original seed
-        got2 = {r.cid: r.n for r in kmeans_fit(df, k=2, iters=2, dim=2).collect()}
+        got2 = {r.cid: r.n for r in kmeans_fit(df, k=2, iters=2, dim=2, engine="jvm").collect()}
     finally:
         release_caches()
     assert got[1][0] == 0  # emptied on the tie-break to the lowest cid
@@ -960,9 +960,10 @@ def test_semantic_dedup_keep_first_within_cluster_only(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     try:
         got = {r.id: (r.cid, r.keep) for r in
-               semantic_dedup(df, seed_centroids(df, 2), threshold=0.9).collect()}
+               semantic_dedup(df, seed_centroids(df, 2), threshold=0.9,
+                              engine="jvm").collect()}
         got_shuffled = {r.id: (r.cid, r.keep) for r in
-                        semantic_dedup(df.repartition(5), seed_centroids(df, 2),
+                        semantic_dedup(df.repartition(5), seed_centroids(df, 2), engine="jvm",
                                        threshold=0.9).collect()}
     finally:
         release_caches()
@@ -998,16 +999,17 @@ def test_clustering_arrow_engine_matches_jvm(spark):
     cents = seed_centroids(df, k)
     try:
         a_j = sorted((r.vec_id, r.cid) for r in
-                     assign_clusters(df, cents).select("vec_id", "cid").collect())
+                     assign_clusters(df, cents, engine="jvm")
+                     .select("vec_id", "cid").collect())
         a_a = sorted((r.vec_id, r.cid) for r in
                      assign_clusters(df, cents, engine="arrow")
                      .select("vec_id", "cid").collect())
         f_j = sorted((r.cid, r.n, tuple(round(x, 6) for x in r.cent)) for r in
-                     kmeans_fit(df, k=k, iters=2, dim=dim).collect())
+                     kmeans_fit(df, k=k, iters=2, dim=dim, engine="jvm").collect())
         f_a = sorted((r.cid, r.n, tuple(round(x, 6) for x in r.cent)) for r in
                      kmeans_fit(df, k=k, iters=2, dim=dim, engine="arrow").collect())
         s_j = sorted(tuple(r) for r in
-                     semantic_dedup(df, cents, threshold=0.9).collect())
+                     semantic_dedup(df, cents, threshold=0.9, engine="jvm").collect())
         s_a = sorted(tuple(r) for r in
                      semantic_dedup(df, cents, threshold=0.9, engine="arrow").collect())
     finally:
@@ -1036,7 +1038,7 @@ def test_semantic_dedup_blocked_sim_matches_single_block(spark):
                          semantic_dedup(df, cents, threshold=0.8, engine="arrow",
                                         sim_block_cols=3).collect())
         jvm = sorted(tuple(r) for r in
-                     semantic_dedup(df, cents, threshold=0.8).collect())
+                     semantic_dedup(df, cents, threshold=0.8, engine="jvm").collect())
     finally:
         release_caches()
     assert blocked == full == jvm

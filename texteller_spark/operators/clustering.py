@@ -12,8 +12,8 @@ top of the reference's extraction semantics (reference analog: none).
 
 Each operator carries two engines with pinned-identical results:
 
-* ``engine='jvm'`` (default; the oracle/catalog path) is built-in JVM
-  expressions only — assignment is map-only (the centroid table collapses
+* ``engine='jvm'`` (the oracle/catalog path — the catalog passes it
+  explicitly) is built-in JVM expressions only — assignment is map-only (the centroid table collapses
   to a ONE-ROW broadcast ``collect_list`` of (cid, cent) structs; the
   per-row argmin is a higher-order ``aggregate`` with an
   order-independent (dist, cid) accumulator), the Lloyd update is one
@@ -23,7 +23,9 @@ Each operator carries two engines with pinned-identical results:
   note Catalyst higher-order functions are CodegenFallback (interpreted
   per element), so this engine's sweet spot is small k and
   oracle-verified correctness.
-* ``engine='arrow'`` (the corpus-scale path) is the MLlib-shaped variant:
+* ``engine='arrow'`` (the DEFAULT — a bare ``kmeans_fit(df, k)`` must never
+  run the interpreted path at corpus scale; r3 verdict finding #2) is the
+  MLlib-shaped variant:
   the k-row centroid model round-trips through the driver (an O(k*d)
   aggregate — see :func:`_collect_centroids`) so assignment is one BLAS
   matmul per Arrow batch, and the SemDeDup pair decisions resolve per
@@ -151,7 +153,7 @@ def assign_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
-    engine: str = "jvm",
+    engine: str = "arrow",
 ) -> DataFrame:
     """+ ``cid`` column: nearest centroid by squared L2 (rounded before
     comparison; ties break to the lowest cid). Map-only in both engines —
@@ -159,9 +161,11 @@ def assign_clusters(
 
     ``engine='jvm'`` keeps the whole computation in Catalyst expressions
     (one-row broadcast centroid array + higher-order argmin): zero Python,
-    oracle-exact, the right default at small k. ``engine='arrow'`` trades
-    one O(k*d) driver collect (see :func:`_collect_centroids`) for BLAS
-    batch distances — ~30x faster once k*d*rows reaches corpus scale. Both
+    oracle-exact — but Catalyst higher-order functions are interpreted
+    (CodegenFallback), so it is the small-k/oracle path, not the default.
+    ``engine='arrow'`` (default) trades one O(k*d) driver collect (see
+    :func:`_collect_centroids`) for BLAS batch distances — ~30x faster
+    once k*d*rows reaches corpus scale. Both
     produce identical assignments (rounded distances, lowest-cid ties;
     parity pinned in tests)."""
     if engine == "arrow":
@@ -181,7 +185,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
-    engine: str = "jvm",
+    engine: str = "arrow",
 ) -> DataFrame:
     """``iters`` Lloyd rounds from the Forgy seeds; returns ``(cid, n,
     cent)`` — member count and the final centroid (each component rounded
@@ -198,12 +202,14 @@ def kmeans_fit(
     (verified on the physical plan). Empty clusters keep their previous
     centroid.
 
-    ``engine='arrow'`` is the MLlib-shaped variant: centroids round-trip
-    through the driver each iteration (O(k*d) — :func:`_collect_centroids`)
-    so assignment is a BLAS matmul in an Arrow kernel and the per-round
-    update aggregate is collected directly instead of persisted. Identical
-    trajectory to the JVM engine (same rounded aggregates; parity pinned
-    in tests), ~30x faster once k*d*rows is corpus-sized."""
+    ``engine='arrow'`` (default) is the MLlib-shaped variant: centroids
+    round-trip through the driver each iteration (O(k*d) —
+    :func:`_collect_centroids`) so assignment is a BLAS matmul in an Arrow
+    kernel and the per-round update aggregate is collected directly instead
+    of persisted. Identical trajectory to the JVM engine (same rounded
+    aggregates; parity pinned in tests), ~30x faster once k*d*rows is
+    corpus-sized; pass ``engine='jvm'`` for the interpreted oracle-exact
+    path (the catalog does)."""
     from .dedup import _materialize
 
     def _upd_agg(assigned):
@@ -266,7 +272,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
-    engine: str = "jvm",
+    engine: str = "arrow",
     sim_block_cols: int | None = None,
 ) -> DataFrame:
     """SemDeDup decision frame ``(id, cid, keep)``: a row is dropped when
@@ -287,7 +293,8 @@ def semantic_dedup(
     cluster consumer reuses anyway). Release with
     ``dedup.release_caches()`` or wrap in ``dedup.signature_cache()``.
 
-    ``engine='arrow'`` (the corpus-scale path) assigns via the BLAS kernel
+    ``engine='arrow'`` (default; the corpus-scale path) assigns via the
+    BLAS kernel
     and resolves each cluster's pair decisions in ONE grouped Arrow batch
     (``applyInPandas`` over ``cid``): a normalized matmul replaces the
     interpreted per-pair higher-order cosine — same rounded-cosine
@@ -342,7 +349,7 @@ def semantic_dedup(
         )
     )
     assigned = _materialize(
-        assign_clusters(df, centroids, id_col, vec_col).select(
+        assign_clusters(df, centroids, id_col, vec_col, engine="jvm").select(
             F.col(id_col).alias("id"), "cid",
             _as_double(F.col(vec_col)).alias("_v"), norm.alias("_n"),
         )

@@ -1482,7 +1482,7 @@ def q_cluster_kmeans(spark, sf):
     from ..operators.clustering import kmeans_fit
 
     e = _t(spark, sf, "embeddings")
-    fitted = kmeans_fit(e, k=8, iters=2, dim=_EMB_DIM)
+    fitted = kmeans_fit(e, k=8, iters=2, dim=_EMB_DIM, engine="jvm")
     return fitted.select(
         "cid",
         F.col("n").alias("n_members"),
@@ -1554,7 +1554,7 @@ def q_semantic_dedup(spark, sf):
     from ..operators.clustering import seed_centroids, semantic_dedup
 
     e = _t(spark, sf, "embeddings")
-    return semantic_dedup(e, seed_centroids(e, 8), threshold=0.45).select(
+    return semantic_dedup(e, seed_centroids(e, 8), threshold=0.45, engine="jvm").select(
         F.col("id").alias("vec_id"), "cid", "keep"
     )
 
@@ -1587,8 +1587,8 @@ def q_semantic_dedup_fitted(spark, sf):
     from ..operators.clustering import kmeans_fit, semantic_dedup
 
     e = _t(spark, sf, "embeddings")
-    fitted = kmeans_fit(e, k=8, iters=2, dim=_EMB_DIM).select("cid", "cent")
-    return semantic_dedup(e, fitted, threshold=0.45).select(
+    fitted = kmeans_fit(e, k=8, iters=2, dim=_EMB_DIM, engine="jvm").select("cid", "cent")
+    return semantic_dedup(e, fitted, threshold=0.45, engine="jvm").select(
         F.col("id").alias("vec_id"), "cid", "keep"
     )
 
