@@ -434,6 +434,52 @@ def test_lsh_near_dup_recall_and_no_false_positives(spark):
     assert recall >= 0.8
 
 
+def test_ann_join_multiprobe_improves_recall(spark):
+    """probes=N adds bit-flip buckets on the query side only: the candidate
+    set is a superset of plain banding, so per-query recall vs the exact
+    top-k is monotone non-decreasing — and strictly better on settings
+    where plain banding misses neighbors."""
+    from texteller_spark.operators.dedup import release_caches
+    from texteller_spark.operators.similarity import ann_join
+
+    rng = np.random.RandomState(5)
+    corpus = rng.normal(size=(400, 16))
+    queries = rng.normal(size=(12, 16))
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+        ["vec_id", "embedding"],
+    )
+    qdf = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in v]) for i, v in enumerate(queries)],
+        ["vec_id", "embedding"],
+    )
+    # exact top-3 per query (numpy, same rounded-cosine convention)
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = np.round(qn @ cn.T, 4)
+    exact = {
+        1000 + qi: set(np.argsort(-sims[qi], kind="stable")[:3])
+        for qi in range(len(queries))
+    }
+
+    def recall(probes):
+        got = ann_join(qdf, cdf, dim=16, k=3, bits=16, bands=2, probes=probes)
+        byq = {}
+        for r in got.collect():
+            byq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(byq.get(q, set()) & e) for q, e in exact.items())
+        return hits / (3 * len(exact))
+
+    try:
+        r0, r8 = recall(0), recall(8)
+    finally:
+        release_caches()
+    # seeded + deterministic: measured curve is 0.111 (probes=0) rising
+    # monotonically to 0.611 (probes=16); probes=8 measures 0.528
+    assert r8 > r0
+    assert r8 >= 0.5
+
+
 def test_textops_values(spark):
     from texteller_spark.operators import textops
 

@@ -19,6 +19,28 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def exchange_inputs(df) -> list[tuple[str, str]]:
+    """(arguments, input-columns) of every Exchange/BroadcastExchange node,
+    from the FORMATTED explain — the plain plan string shows partitioning
+    keys only, not what payload rides the exchange."""
+    import re
+
+    jvm = df.sparkSession._jvm
+    s = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    out = []
+    for block in re.split(r"\n(?=\(\d+\) )", s):
+        header = block.splitlines()[0]
+        if re.search(r"\(\d+\) (Exchange|BroadcastExchange)", header):
+            inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+            args = re.search(r"Arguments: ([^\n]*)", block)
+            out.append(
+                (args.group(1) if args else "", inp.group(1) if inp else "")
+            )
+    return out
+
+
 @pytest.fixture(scope="module")
 def Q():
     from texteller_spark.plans import queries
@@ -137,6 +159,35 @@ def test_ann_join_is_band_equijoin_with_windowgrouplimit(spark, Q):
     assert "Join" in p
     assert "WindowGroupLimit" in p
     assert "BatchEvalPython" not in p  # band kernel is Arrow, cosine is JVM
+
+
+def test_lsh_band_exchanges_are_vector_free(spark, Q):
+    """r3 verdict finding #1: the band shuffles of the embedding LSH pair
+    finder and the bulk ANN join must carry ONLY (id, band-key) rows — the
+    768-dim payload would otherwise ride the exchange ``bands`` times. The
+    vectors join back by id afterwards, so at most two exchanges total
+    (one per pair side) may carry an embedding column."""
+    from texteller_spark.operators.dedup import release_caches
+
+    cases = (
+        (Q.q_embedding_lsh, ("_v#", "_va#", "_vb#")),
+        (Q.q_ann_join, ("_v_query_id#", "_v_neighbor_id#")),
+    )
+    try:
+        for qfn, vec_markers in cases:
+            exs = exchange_inputs(qfn(spark, SF))
+            assert exs, qfn.__name__  # the band join exists and shuffles
+            for args, inputs in exs:
+                if "band" in args:  # a band-keyed exchange: must be narrow
+                    assert not any(v in inputs for v in vec_markers), (
+                        qfn.__name__, args, inputs,
+                    )
+            n_vec = sum(
+                1 for _, inputs in exs if any(v in inputs for v in vec_markers)
+            )
+            assert n_vec <= 2, (qfn.__name__, exs)
+    finally:
+        release_caches()
 
 
 def test_lsh_plane_sign_margins_are_engine_safe(spark, Q):
