@@ -264,6 +264,23 @@ def main() -> None:
             toks, id_col="doc_key", seq_len=2048, bucket_size=1 << 56
         )
 
+    def exact_substring_corpus():
+        # Lee et al. EXACTSUBSTR at the published window=50: one Arrow
+        # rolling-hash kernel (O(T) per doc), a (url-hash, pos, hash64)
+        # counting shuffle — the heaviest narrow shuffle in the bench
+        # (~1 row per corpus token) — then dup-start collection and the
+        # in-row complement rebuild. The synthetic corpus is the
+        # adversarial-max case (99.6% of windows duplicated — templated
+        # sentences), so this entry runs a deterministic quarter of it to
+        # keep the bench budget; the full-corpus measurement (26.1 s at
+        # 100k pages) is recorded in BENCH.md.
+        from texteller_spark.operators.dedup import remove_repeated_substrings
+
+        docs = corpus.filter(F.pmod(F.xxhash64("url"), F.lit(4)) == 0).select(
+            F.xxhash64("url").alias("doc_id"), "text"
+        )
+        return remove_repeated_substrings(docs, window=50)
+
     builders = {
         "pipeline_extract": lambda: extract_pages(corpus),
         # secondary: text-only consumers skip the span payload on the
@@ -289,6 +306,7 @@ def main() -> None:
         "dedup_minhash_lsh": lambda: Q.q_minhash_lsh(spark, SF_DIR),
         "dedup_clusters": lambda: Q.q_dedup_clusters(spark, SF_DIR),
         "dedup_lines": lambda: Q.q_dedup_lines(spark, SF_DIR),
+        "dedup_exact_substring": exact_substring_corpus,
         "decon_ngram_overlap": lambda: Q.q_decon_ngrams(spark, SF_DIR),
         "dedup_simhash": lambda: Q.q_simhash(spark, SF_DIR),
         "dedup_embedding_lsh": lambda: Q.q_embedding_lsh(spark, SF_DIR),

@@ -332,6 +332,64 @@ def test_remove_duplicate_lines_semantics(spark):
     assert got[4] == ("", 0, "pdf")
 
 
+def test_remove_repeated_substrings_semantics(spark):
+    """Lee et al. EXACTSUBSTR at window=4: a cross-doc 6-token shared span
+    is removed from BOTH docs (exactly the span, nothing else); an
+    overlapping within-doc repeat counts; docs shorter than the window and
+    untouched docs keep their ORIGINAL bytes (odd whitespace included);
+    identical docs collapse to empty; non-text columns pass through."""
+    from texteller_spark.operators.dedup import remove_repeated_substrings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta q1 q2", "web"),
+            (2, "x1 alpha beta gamma delta epsilon zeta x2", "web"),
+            (3, "r r r r r s t u", "web"),
+            (4, "a  b   c", "pdf"),
+            (5, "m n o p q", "pdf"),
+            (6, "m n o p q", "pdf"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        r.doc_id: (r.text, r.n_dropped_tokens, r.source)
+        for r in remove_repeated_substrings(docs, window=4).collect()
+    }
+    assert got[1] == ("q1 q2", 6, "web")
+    assert got[2] == ("x1 x2", 6, "web")
+    assert got[3] == ("s t u", 5, "web")  # overlapping self-repeat "r r r r"
+    assert got[4] == ("a  b   c", 0, "pdf")  # untouched: original bytes
+    assert got[5] == ("", 5, "pdf")
+    assert got[6] == ("", 5, "pdf")
+
+
+def test_remove_repeated_substrings_min_count(spark):
+    """min_count=3: a span shared by only two docs survives; three copies
+    fall. The window rule is exact at token granularity: a duplicated span
+    SHORTER than the window is never touched."""
+    from texteller_spark.operators.dedup import remove_repeated_substrings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1 s2 s3 s4 tail1"),
+            (2, "s1 s2 s3 s4 tail2"),
+            (3, "s1 s2 s3 s4 tail3"),
+            (4, "p1 p2 p3 p4 tail4"),
+            (5, "p1 p2 p3 p4 tail5"),
+            (6, "short dup x"),
+            (7, "short dup y"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.text, r.n_dropped_tokens)
+        for r in remove_repeated_substrings(docs, window=4, min_count=3).collect()
+    }
+    assert got[1] == ("tail1", 4) and got[2] == ("tail2", 4) and got[3] == ("tail3", 4)
+    assert got[4] == ("p1 p2 p3 p4 tail4", 0)  # only 2 copies
+    assert got[6] == ("short dup x", 0)  # 2-token dup < window
+
+
 def test_remove_duplicate_lines_min_docs_threshold(spark):
     """min_docs=3: a line shared by only two docs survives; whitespace
     differences trim to the same key."""

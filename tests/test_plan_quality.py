@@ -347,6 +347,27 @@ def test_incremental_dedup_shuffles_no_text(spark, Q):
     assert "BatchEvalPython" not in p
 
 
+def test_exact_substring_dedup_shuffles_no_text(spark, Q):
+    # EXACTSUBSTR's counting aggregate and coverage join must move only
+    # (id, pos, hash) / (id, token-position) rows; the document text rides
+    # a keyed exchange at most once, in the final rebuild join — at 100 TB
+    # the window-hash shuffle dominates and must stay ~20 bytes/row.
+    p = plan_of(Q.q_exact_substring(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # NOTHING broadcasts here: the dup-hash set and the coverage arrays are
+    # unbounded aggregates (boilerplate-heavy crawls duplicate most
+    # windows) — an auto-broadcast of either OOMs at scale (measured at
+    # 100k docs), so both joins are pinned to shuffle strategies
+    assert "BroadcastExchange" not in p, p
+    n_text = 0
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line and "text#" in line:
+            n_text += 1
+    assert n_text <= 1, p
+    assert "ArrowEvalPython" in p  # the rolling window-hash kernel
+    assert "BatchEvalPython" not in p
+
+
 def test_vocab_topk_is_partial_agg_plus_take_ordered(spark, Q):
     # corpus vocabulary: map-side partial count before the shuffle, global
     # top-k via TakeOrderedAndProject — never a full sort of the vocabulary

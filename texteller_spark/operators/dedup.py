@@ -50,6 +50,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "duplicate_clusters",
     "remove_duplicate_lines",
+    "remove_repeated_substrings",
     "decontaminate_ngrams",
     "incremental_dedup_decisions",
     "release_caches",
@@ -671,6 +672,152 @@ def remove_duplicate_lines(
     return joined.select(
         *out_cols,
         F.coalesce(F.size("_dp"), F.lit(0)).cast("int").alias("n_dropped_lines"),
+    )
+
+
+def _window_hash_udf(window: int):
+    """Arrow kernel: 64-bit rolling polynomial hashes of every ``window``-
+    token sliding window (stride 1) of a text — O(T) per document via
+    prefix sums with the modular inverse of the base (odd base ⇒ invertible
+    mod 2^64; all arithmetic wraps in numpy uint64), NOT the naive O(T·w)
+    slice-and-hash. Texts shorter than ``window`` tokens yield no windows.
+    Token hashes come from :func:`_tok_hash64` (memoized md5 prefixes)."""
+    base = 1099511628211  # FNV-ish odd constant
+    base_inv = pow(base, -1, 1 << 64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def win_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = []
+            for t in texts:
+                toks = (t or "").split()
+                n = len(toks)
+                if n < window:
+                    out.append([])
+                    continue
+                th = np.fromiter(
+                    (_tok_hash64(x) for x in toks), dtype=np.uint64, count=n
+                )
+                inv = np.full(n, base_inv, dtype=np.uint64)
+                inv[0] = 1
+                inv = np.cumprod(inv)  # base^-i (mod 2^64)
+                pref = np.cumsum(th * inv)  # P[i] = sum_j<=i th[j]*base^-j
+                bp = np.full(n, base, dtype=np.uint64)
+                bp[0] = 1
+                bp = np.cumprod(bp)  # base^i (mod 2^64)
+                # H[i] = (P[i+w-1] - P[i-1]) * base^(i+w-1)
+                #      = sum_{j<w} th[i+j] * base^(w-1-j)
+                d = pref[window - 1 :] - np.concatenate(
+                    (np.zeros(1, dtype=np.uint64), pref[: n - window])
+                )
+                out.append((d * bp[window - 1 :]).view(np.int64).tolist())
+            yield pd.Series(out)
+
+    return win_udf
+
+
+def remove_repeated_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", EXACTSUBSTR): remove every
+    token that lies inside a substring of ≥ ``window`` tokens appearing at
+    least ``min_count`` times in the corpus (all occurrences count,
+    including overlapping repeats within one document — the suffix-array
+    rule, not the cross-doc-only line rule). Returns the input columns with
+    ``text_col`` rewritten plus ``n_dropped_tokens``.
+
+    Window-granular detection is EXACT at token granularity, not an
+    approximation: a token sits inside a duplicated span of ≥ w tokens iff
+    some duplicated w-token window covers it (every w-window of a
+    duplicated span is itself duplicated, and a span shorter than w has no
+    qualifying window). The two deviations from the paper's byte-level
+    suffix array are (a) token granularity — whitespace tokens, and a
+    rewritten doc is re-joined with single spaces (untouched docs keep
+    their original bytes), and (b) 64-bit rolling-hash identity, the same
+    collision caveat class as :func:`remove_duplicate_lines`'s xxhash64.
+
+    Scale shape (the reason this beats a distributed suffix array at
+    10^12 docs): the window stage is one Arrow kernel emitting O(T) hashes
+    per doc (rolling, not O(T·w)), materialized ONCE (it feeds both the
+    counting aggregate and the coverage probe — same signature-stage
+    pattern as :func:`minhash_lsh_pairs`; consume inside
+    ``signature_cache()`` or call :func:`release_caches`); the counting
+    aggregate shuffles only ``(id, pos, hash)`` 20-byte rows; dup coverage
+    explodes ONLY the duplicated windows (w ints each) and collapses to one
+    positions array per affected doc; the full text shuffles exactly once,
+    in the final join. The coverage side never explodes a dup window into
+    its ``w`` member positions: only the dup window STARTS are collected
+    per doc (≤ one int per token), and the kept text is rebuilt in-row from
+    the complement segments — with fixed-width intervals and sorted starts,
+    the merged complement is just ``zip_with(0 ∥ starts+w, starts ∥ T)``
+    filtered to non-empty, so per-row work is O(D) higher-order ops, not
+    O(T·w). This matters because a templated crawl is the ADVERSARIAL-MAX
+    case: the bench's synthetic 100k-page corpus measures 99.6% of windows
+    duplicated, and a naive position-explode (×50) + ``collect_set`` built
+    770M rows and OOM'd the 8 GiB bench JVM. BOTH joins are explicitly
+    hinted to shuffle strategies for the same reason: the dup-hash set and
+    the per-doc start arrays are UNBOUNDED aggregates, and Catalyst's
+    post-aggregation size estimates otherwise auto-broadcast them."""
+    win = _window_hash_udf(window)
+    keyed = _materialize(
+        _widen(df).select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(win(F.col(text_col))).alias("_pos", "_h"),
+        )
+    )
+    dup = (
+        keyed.groupBy("_h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    covered = (
+        keyed.join(dup.hint("shuffle_hash"), "_h")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list("_pos")).alias("_dp"))
+    )
+    base = df.withColumn("_toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    joined = base.join(
+        covered.hint("merge"), base[id_col] == covered["_id"], "left"
+    )
+    # complement segments of the union of [p, p+w) over sorted starts p:
+    # candidate segment i = [p_{i-1}+w, p_i) (plus [0, p_0) and
+    # [p_last+w, T)); fixed width ⇒ the latest end before p_i is always
+    # p_{i-1}+w, so filtering empty candidates yields exactly the merged
+    # complement
+    seg_starts = F.concat(
+        F.array(F.lit(0)), F.transform(F.col("_dp"), lambda p: p + F.lit(window))
+    )
+    seg_ends = F.concat(F.col("_dp"), F.array(F.size("_toks")))
+    segs = F.filter(
+        F.zip_with(
+            seg_starts, seg_ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        lambda x: x["e"] > x["s"],
+    )
+    kept = F.flatten(
+        F.transform(
+            segs, lambda x: F.slice(F.col("_toks"), x["s"] + 1, x["e"] - x["s"])
+        )
+    )
+    out_cols = [
+        F.when(F.col("_dp").isNull(), base[c])
+        .otherwise(F.concat_ws(" ", kept))
+        .alias(c)
+        if c == text_col
+        else base[c]
+        for c in df.columns
+    ]
+    n_dropped = F.when(
+        F.col("_dp").isNull(), F.lit(0)
+    ).otherwise(F.size("_toks") - F.size(kept))
+    return joined.select(
+        *out_cols, n_dropped.cast("int").alias("n_dropped_tokens")
     )
 
 

@@ -2204,6 +2204,61 @@ FROM flag GROUP BY doc_id
 """
 
 
+def q_exact_substring(spark, sf):
+    """Exact-substring dedup (Lee et al. 2022 EXACTSUBSTR — the
+    suffix-array rule at token granularity) over the documents table at
+    window=8: every token inside an 8-or-more-token substring appearing
+    >= 2 times anywhere in the corpus is removed (within-doc and
+    overlapping repeats count); untouched docs keep their original bytes.
+    The oracle re-derives dup windows by STRING equality, so it verifies
+    the rolling-hash window identity end-to-end."""
+    from ..operators.dedup import remove_repeated_substrings
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return remove_repeated_substrings(d, window=8).select(
+        "doc_id", "text", "n_dropped_tokens"
+    )
+
+
+_SQL_EXACT_SUBSTRING = """
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tok
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(generate_series(0, len(tok)-8)) AS p, tok
+  FROM toks WHERE len(tok) >= 8
+),
+ws AS (SELECT doc_id, p, array_to_string(tok[p+1:p+8], ' ') AS s FROM w),
+dup AS (SELECT s FROM ws GROUP BY s HAVING COUNT(*) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT ws.doc_id, unnest(generate_series(ws.p, ws.p+7)) AS t
+    FROM ws JOIN dup ON ws.s = dup.s
+  )
+),
+ncov AS (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id),
+tokpos AS (
+  SELECT doc_id, unnest(tok) AS tk,
+         unnest(generate_series(0, len(tok)-1)) AS i
+  FROM toks
+),
+rebuilt AS (
+  SELECT tp.doc_id,
+         COALESCE(string_agg(CASE WHEN c.t IS NULL THEN tp.tk END,
+                             ' ' ORDER BY tp.i), '') AS new_text
+  FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.t = tp.i
+  GROUP BY tp.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN n.n IS NULL THEN d.text ELSE COALESCE(r.new_text, '') END AS text,
+       CAST(COALESCE(n.n, 0) AS INT) AS n_dropped_tokens
+FROM documents d
+LEFT JOIN ncov n ON n.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+
 def q_decon_ngrams(spark, sf):
     """Exact 5-gram benchmark decontamination: the benchmark set is the
     token window 6..25 of every 25th document, so those source docs (and
@@ -2965,14 +3020,14 @@ FROM built
 """
 
 
-# Ordering contract: the correctness driver walks this dict in insertion
-# order and (observed in round 2: 51 entries, first 50 recorded) may cap at
-# 50. Entries never yet driver-checked therefore sit within the first 50;
-# the tail carries only entries value-exact-green in BOTH r01 and r02
-# (set ops / scalar-function trio / global top-k / interval-merge /
-# per-group & cosine top-k / exact dedup / salted agg), so a clipped tail
-# loses no information. All 73 run uncapped in tests/test_oracle_catalog.py.
-QUERIES = {
+# The thematic catalog. Exposed as QUERIES below in
+# least-recently-externally-verified-first order (see _DRIVER_LAST_CHECKED):
+# the external correctness driver walks the dict in insertion order and
+# records at most ~50 entries per round, so this rotation guarantees every
+# entry cycles through external verification on a bounded cadence — no
+# entry can sit permanently past the cap. The FULL catalog always runs
+# uncapped in tests/test_oracle_catalog.py regardless of ordering.
+_CATALOG = {
     "flagship_extract": flagship,
     "cluster_kmeans": q_cluster_kmeans,
     "dedup_semantic": q_semantic_dedup,
@@ -3014,6 +3069,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_incremental": q_incremental_dedup,
     "dedup_lines": q_dedup_lines,
+    "dedup_exact_substring": q_exact_substring,
     "decon_ngram_overlap": q_decon_ngrams,
     "p9_near_dup_prep": q_near_dup_prep,
     "dedup_simhash": q_simhash,
@@ -3023,7 +3079,6 @@ QUERIES = {
     "mm_media_features": q_media_features,
     "mm_media_frames": q_media_frames,
     "mm_media_resize": q_media_resize,
-    # --- tail: green in r01 AND r02; safe under a driver entry cap ---
     "q1_pricing_summary": q_pricing_summary,
     "j2_region_rollup": q_region_rollup,
     "q9_profit_star": q_profit_by_nation_brand,
@@ -3051,6 +3106,71 @@ QUERIES = {
     "f_array_stats": q_array_stats,
     "f_date_ops": q_date_ops,
 }
+
+#: Round in which the external correctness driver last RECORDED each entry,
+#: read off the committed CORRECTNESS_r{N}.json files (absent = never
+#: driver-checked). Entries the driver's ~50-entry cap clipped in a round
+#: keep their older stamp and therefore sort to the head next round —
+#: update this table when a new CORRECTNESS file lands.
+_DRIVER_LAST_CHECKED = {
+    # recorded in CORRECTNESS_r03.json
+    **dict.fromkeys(
+        [
+            "flagship_extract", "cluster_kmeans", "dedup_semantic",
+            "dedup_semantic_fitted", "j3_range_join", "j4_sessionize",
+            "web_link_graph", "web_domain_rank", "curation_sample_mixture",
+            "curation_quality_lr", "dedup_paragraphs", "text_pii_redact",
+            "text_nfc_normalize", "text_vocab_topk", "curation_gopher_rules",
+            "p10_pack_sequences", "curation_blocklist", "text_bpe_tokens",
+            "text_quality", "text_url_ops", "text_repetition",
+            "text_top_gram_share", "curation_domain_quota", "p4_train_filter",
+            "p7_train_split", "p8_training_prep", "j6_semi_anti",
+            "j7_asof_join", "dedup_embedding_cosine", "dedup_embedding_lsh",
+            "w4_rank_frames", "s4_fixture_scan", "s5_span_table",
+            "s9_pdf_extract", "w5_chunked_extract", "stream_span_rates",
+            "stream_first_seen", "dedup_minhash_lsh", "dedup_clusters",
+            "dedup_incremental", "dedup_lines", "decon_ngram_overlap",
+            "p9_near_dup_prep", "dedup_simhash", "dedup_ngram_jaccard",
+            "sim_ann_lsh", "sim_ann_join", "mm_media_features",
+            "mm_media_frames", "mm_media_resize",
+        ],
+        3,
+    ),
+    # last recorded in CORRECTNESS_r02.json (clipped by the cap in r03)
+    **dict.fromkeys(
+        [
+            "q1_pricing_summary", "j2_region_rollup", "q9_profit_star",
+            "w2_interval_merge", "k1_topk_per_group", "dedup_exact",
+            "sim_cosine_topk", "skew_salted_agg", "a3_rollup",
+            "text_lang_id", "text_fingerprint", "q17_small_qty",
+            "a2_ordered_concat", "w1_first_per_group", "text_token_stats",
+            "j5_next_event", "q3_shipping_priority", "j1_zip_positional",
+            "q6_revenue_scalar", "a1_mode", "k2_global_topk", "set_ops",
+            "set_distinct", "f_json_extract", "f_array_stats", "f_date_ops",
+        ],
+        2,
+    ),
+}
+
+#: Entries whose IMPLEMENTATION changed materially after their last driver
+#: check — their stamp is voided so the changed code re-verifies externally
+#: next round, regardless of rotation position. Clear when the next
+#: CORRECTNESS file records them.
+_CHANGED_SINCE_CHECK = {
+    "sim_ann_join",  # r4: vector-free band exchange + multiprobe knob
+    "dedup_embedding_lsh",  # r4: vector-free band exchange
+}
+
+# Least-recently-verified first; Python's sort is stable, so entries with
+# the same stamp keep their thematic _CATALOG order.
+QUERIES = dict(
+    sorted(
+        _CATALOG.items(),
+        key=lambda kv: 0
+        if kv[0] in _CHANGED_SINCE_CHECK
+        else _DRIVER_LAST_CHECKED.get(kv[0], 0),
+    )
+)
 
 ORACLES = {
     "q1_pricing_summary": _SQL_PRICING,
@@ -3109,6 +3229,7 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_clusters": _clusters_sql(),
     "dedup_lines": _SQL_DEDUP_LINES,
+    "dedup_exact_substring": _SQL_EXACT_SUBSTRING,
     "decon_ngram_overlap": _SQL_DECON_NGRAMS,
     "p9_near_dup_prep": _near_dup_prep_sql(),
     "dedup_simhash": _simhash_sql(),
