@@ -390,6 +390,33 @@ def test_remove_repeated_substrings_min_count(spark):
     assert got[6] == ("short dup x", 0)  # 2-token dup < window
 
 
+def test_remove_repeated_substrings_keep_first(spark):
+    """keep="first": the lowest-(id,pos) occurrence of each dup window
+    survives, so doc 1 keeps the shared span intact (original bytes — it is
+    untouched) while doc 2 loses it; a within-doc overlapping self-repeat
+    keeps its first window and cuts the rest."""
+    from texteller_spark.operators.dedup import remove_repeated_substrings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "c1 c2 c3 c4 c5 tailA"),
+            (2, "c1 c2 c3 c4 c5 tailB"),
+            (3, "r r r r r x"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.text, r.n_dropped_tokens)
+        for r in remove_repeated_substrings(docs, window=4, keep="first").collect()
+    }
+    # doc 1 holds every canonical occurrence -> fully untouched
+    assert got[1] == ("c1 c2 c3 c4 c5 tailA", 0)
+    assert got[2] == ("tailB", 5)
+    # doc 3: windows at pos 0 and 1 are both "r r r r"; pos 0 is canonical,
+    # pos 1 drops -> covered tokens 1..4, kept tokens 0 and 5
+    assert got[3] == ("r x", 4)
+
+
 def test_remove_duplicate_lines_min_docs_threshold(spark):
     """min_docs=3: a line shared by only two docs survives; whitespace
     differences trim to the same key."""

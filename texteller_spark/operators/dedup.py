@@ -722,6 +722,7 @@ def remove_repeated_substrings(
     text_col: str = "text",
     window: int = 50,
     min_count: int = 2,
+    keep: str = "none",
 ) -> DataFrame:
     """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better", EXACTSUBSTR): remove every
@@ -730,6 +731,13 @@ def remove_repeated_substrings(
     including overlapping repeats within one document — the suffix-array
     rule, not the cross-doc-only line rule). Returns the input columns with
     ``text_col`` rewritten plus ``n_dropped_tokens``.
+
+    ``keep`` selects between the paper's two policies: ``"none"`` (default)
+    removes EVERY occurrence of a duplicated window; ``"first"`` spares the
+    globally-first occurrence of each window — the minimum ``(id, pos)``
+    pair, so for two copies of one long span in docs A < B every window's
+    canonical lands in A and A keeps the whole span intact (requires ids
+    unique per row and orderable).
 
     Window-granular detection is EXACT at token granularity, not an
     approximation: a token sits inside a duplicated span of ≥ w tokens iff
@@ -770,16 +778,25 @@ def remove_repeated_substrings(
             F.posexplode(win(F.col(text_col))).alias("_pos", "_h"),
         )
     )
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     dup = (
         keyed.groupBy("_h")
-        .agg(F.count("*").alias("_n"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_keep"),
+        )
         .filter(F.col("_n") >= min_count)
-        .select("_h")
+        .select("_h", "_keep")
     )
-    covered = (
-        keyed.join(dup.hint("shuffle_hash"), "_h")
-        .groupBy("_id")
-        .agg(F.array_sort(F.collect_list("_pos")).alias("_dp"))
+    occ = keyed.join(dup.hint("shuffle_hash"), "_h")
+    if keep == "first":
+        occ = occ.filter(
+            (F.col("_id") != F.col("_keep._id"))
+            | (F.col("_pos") != F.col("_keep._pos"))
+        )
+    covered = occ.groupBy("_id").agg(
+        F.array_sort(F.collect_list("_pos")).alias("_dp")
     )
     base = df.withColumn("_toks", F.split(F.trim(F.col(text_col)), r"\s+"))
     joined = base.join(

@@ -2259,6 +2259,64 @@ LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
 """
 
 
+def q_exact_substring_keep1(spark, sf):
+    """EXACTSUBSTR with the paper's other policy (keep="first"): the
+    globally-first occurrence (min (doc_id, pos)) of each duplicated
+    window survives, so the lowest-id holder of a duplicated span keeps it
+    intact and every other copy is cut. The oracle expresses the canonical
+    choice as row_number() over string-equal occurrences."""
+    from ..operators.dedup import remove_repeated_substrings
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return remove_repeated_substrings(d, window=8, keep="first").select(
+        "doc_id", "text", "n_dropped_tokens"
+    )
+
+
+_SQL_EXACT_SUBSTRING_KEEP1 = """
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tok
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(generate_series(0, len(tok)-8)) AS p, tok
+  FROM toks WHERE len(tok) >= 8
+),
+ws AS (SELECT doc_id, p, array_to_string(tok[p+1:p+8], ' ') AS s FROM w),
+occ AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn,
+         count(*) OVER (PARTITION BY s) AS cnt
+  FROM ws
+),
+dupocc AS (SELECT doc_id, p FROM occ WHERE cnt >= 2 AND rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(generate_series(p, p+7)) AS t FROM dupocc
+  )
+),
+ncov AS (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id),
+tokpos AS (
+  SELECT doc_id, unnest(tok) AS tk,
+         unnest(generate_series(0, len(tok)-1)) AS i
+  FROM toks
+),
+rebuilt AS (
+  SELECT tp.doc_id,
+         COALESCE(string_agg(CASE WHEN c.t IS NULL THEN tp.tk END,
+                             ' ' ORDER BY tp.i), '') AS new_text
+  FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.t = tp.i
+  GROUP BY tp.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN n.n IS NULL THEN d.text ELSE COALESCE(r.new_text, '') END AS text,
+       CAST(COALESCE(n.n, 0) AS INT) AS n_dropped_tokens
+FROM documents d
+LEFT JOIN ncov n ON n.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+
 def q_decon_ngrams(spark, sf):
     """Exact 5-gram benchmark decontamination: the benchmark set is the
     token window 6..25 of every 25th document, so those source docs (and
@@ -3070,6 +3128,7 @@ _CATALOG = {
     "dedup_incremental": q_incremental_dedup,
     "dedup_lines": q_dedup_lines,
     "dedup_exact_substring": q_exact_substring,
+    "dedup_exact_substring_keep1": q_exact_substring_keep1,
     "decon_ngram_overlap": q_decon_ngrams,
     "p9_near_dup_prep": q_near_dup_prep,
     "dedup_simhash": q_simhash,
@@ -3230,6 +3289,7 @@ ORACLES = {
     "dedup_clusters": _clusters_sql(),
     "dedup_lines": _SQL_DEDUP_LINES,
     "dedup_exact_substring": _SQL_EXACT_SUBSTRING,
+    "dedup_exact_substring_keep1": _SQL_EXACT_SUBSTRING_KEEP1,
     "decon_ngram_overlap": _SQL_DECON_NGRAMS,
     "p9_near_dup_prep": _near_dup_prep_sql(),
     "dedup_simhash": _simhash_sql(),

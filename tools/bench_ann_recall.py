@@ -40,11 +40,15 @@ EMB_CORPUS = os.environ.get(
 )
 QUERY_STRIDE = 397
 K = 10
+# keep r = bits/bands >= 8: at 100k rows a band with 2^r buckets admits
+# ~n/2^r candidates per band, so r < 8 (e.g. 16 bits / 4 bands) degenerates
+# toward scanning the corpus (measured 23k candidates/query) — the grid
+# varies sharpness (r), redundancy (bands), and multiprobe depth instead
 CONFIGS = [
     (16, 2, 0), (16, 2, 8), (16, 2, 16),
-    (16, 4, 0), (16, 4, 8), (16, 4, 16),
-    (16, 8, 0), (16, 8, 8), (16, 8, 16),
-    (24, 4, 0), (24, 4, 8), (24, 4, 16),
+    (24, 2, 0), (24, 2, 8), (24, 2, 16),
+    (24, 3, 0), (24, 3, 8), (24, 3, 16),
+    (32, 4, 0), (32, 4, 8), (32, 4, 16),
 ]
 
 
