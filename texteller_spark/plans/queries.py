@@ -1900,12 +1900,14 @@ bands AS (
 )"""
 
 
-def _minhash_ctes(bands: int = 16, k: int = 3) -> str:
+def _minhash_ctes(
+    bands: int = 16, k: int = 3, corpus_cte: str = _SQL_CORPUS_CTE
+) -> str:
     """Signature chain + self-join candidates + signature-agreement counts
-    (``agree``) over the near-dup corpus — the pair oracle
-    (`_minhash_sql`) and cluster-closure oracle (`_clusters_sql`) share
-    this."""
-    return f"""{_sig_ctes(_SQL_CORPUS_CTE, bands, k)},
+    (``agree``) over any ``corpus(id, text)`` CTE (default: the near-dup
+    corpus) — the pair oracle (`_minhash_sql`), cluster-closure oracle
+    (`_clusters_sql`), and capstone oracles share this."""
+    return f"""{_sig_ctes(corpus_cte, bands, k)},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b
@@ -2133,6 +2135,181 @@ SELECT CASE WHEN CAST('0x' || substr(md5(s.id || ':42'), 1, 8) AS BIGINT) % 10 <
        ROUND(AVG(s.q), 3) AS avg_quality
 FROM scored s JOIN canon c ON s.id = c.id
 WHERE s.q >= 0.5 AND s.n_tok >= 5 AND s.n_tok < 1014
+GROUP BY 1
+"""
+
+
+#: 12-token boilerplate planted in the p11 fixture (>= the window=8 rule)
+_P11_BOILER = (
+    "please subscribe to our newsletter and follow us on social media today"
+)
+
+
+def q_substring_prep(spark, sf):
+    """Capstone substring-aware training prep (p11) — document-level fuzzy
+    dedup THEN span-level exact-substring dedup as ONE plan, the order
+    modern corpus preps run them (NeMo-Curator-style: fuzzy doc dedup
+    first removes whole near-copies cheaply, then EXACTSUBSTR cuts the
+    repeated spans that survive document-level dedup): MinHash+LSH pairs →
+    transitive cluster closure → canonical (min-id) survivor per cluster →
+    ``remove_repeated_substrings(window=8, keep="first")`` over the
+    survivors (the globally-first holder of each duplicated span keeps it;
+    every later copy is cut) → quality/token admission on the CLEANED text
+    → salted 90/10 split → per-split doc counts, mean post-clean quality,
+    and total tokens the substring pass dropped. Scale posture inherits
+    the pieces': closure shuffles (id, label) only, the substring counting
+    shuffle carries (id, pos, hash64) only, text never enters a keyed
+    exchange, and admission/split are scan expressions.
+
+    Fixture: every fifth doc carries a shared 12-token boilerplate
+    sentence (appended before mutation, so its near-dup copy carries it
+    too) — the base documents share no 8-token run, so without the
+    injection the substring stage would be a measured no-op. The min-id
+    boilerplate holder keeps the sentence intact (keep="first"); every
+    other holder loses exactly those tokens."""
+    from ..operators.dedup import remove_repeated_substrings
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _P11_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = base.unionByName(
+        base.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended mutation token")).alias("text"),
+        )
+    )
+    pairs = minhash_lsh_pairs(corpus, bands=16, threshold=0.5)
+    clusters = duplicate_clusters(
+        pairs.select("id_a", "id_b"),
+        ids=corpus.select(F.col("doc_id").alias("id")),
+    )
+    canon = clusters.filter(F.col("is_canonical") == 1).select("id")
+    survivors = corpus.join(canon, corpus["doc_id"] == canon["id"], "left_semi")
+    cleaned = remove_repeated_substrings(survivors, window=8, keep="first")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    narrow = cleaned.select(
+        "doc_id",
+        "n_dropped_tokens",
+        textops.quality_score(F.col("text")).alias("_q"),
+        textops.token_count(F.col("text")).alias("_n_tok"),
+        F.when(bucket < 9, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+    return (
+        narrow.filter((F.col("_q") >= 0.3) & (F.col("_n_tok") >= 5))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_q"), 3).alias("avg_quality"),
+            F.sum("n_dropped_tokens").cast("bigint").alias("tokens_dropped"),
+        )
+    )
+
+
+def _substring_prep_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
+    """p11 oracle: the recursive MinHash closure (shared CTEs) → canonical
+    survivors → the keep-first EXACTSUBSTR string-matching chain (same
+    CTEs as `_SQL_EXACT_SUBSTRING_KEEP1`, scoped to survivors) → the p9
+    quality/token admission over the CLEANED text. The corpus CTE mirrors
+    the boilerplate injection verbatim."""
+    corpus_cte = f"""p11base AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' {_P11_BOILER}'
+              ELSE text END AS text
+  FROM documents
+),
+corpus AS (
+  SELECT id, text FROM p11base
+  UNION ALL
+  SELECT id + 10000000 AS id, text || ' appended mutation token' AS text
+  FROM p11base
+)"""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(bands, k, corpus_cte)},
+{_closure_ctes(threshold)},
+canon AS (
+  SELECT id FROM reach GROUP BY id HAVING MIN(lab) = id
+),
+surv AS (
+  SELECT c.id AS doc_id, c.text FROM corpus c JOIN canon n ON c.id = n.id
+),
+stoks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tok
+  FROM surv
+),
+sw AS (
+  SELECT doc_id, unnest(generate_series(0, len(tok)-8)) AS p, tok
+  FROM stoks WHERE len(tok) >= 8
+),
+sws AS (SELECT doc_id, p, array_to_string(tok[p+1:p+8], ' ') AS s FROM sw),
+socc AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn,
+         count(*) OVER (PARTITION BY s) AS cnt
+  FROM sws
+),
+sdupocc AS (SELECT doc_id, p FROM socc WHERE cnt >= 2 AND rn > 1),
+scov AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(generate_series(p, p+7)) AS t FROM sdupocc
+  )
+),
+sncov AS (SELECT doc_id, COUNT(*) AS n FROM scov GROUP BY doc_id),
+stokpos AS (
+  SELECT doc_id, unnest(tok) AS tk,
+         unnest(generate_series(0, len(tok)-1)) AS i
+  FROM stoks
+),
+srebuilt AS (
+  SELECT tp.doc_id,
+         COALESCE(string_agg(CASE WHEN c.t IS NULL THEN tp.tk END,
+                             ' ' ORDER BY tp.i), '') AS new_text
+  FROM stokpos tp LEFT JOIN scov c ON c.doc_id = tp.doc_id AND c.t = tp.i
+  GROUP BY tp.doc_id
+),
+cleaned AS (
+  SELECT s.doc_id,
+         CASE WHEN n.n IS NULL THEN s.text
+              ELSE COALESCE(r.new_text, '') END AS text,
+         COALESCE(n.n, 0) AS nd
+  FROM surv s
+  LEFT JOIN sncov n ON n.doc_id = s.doc_id
+  LEFT JOIN srebuilt r ON r.doc_id = s.doc_id
+),
+scored AS (
+  SELECT doc_id, nd,
+         0.4 * least(length(text) / 500.0, 1.0)
+       + 0.4 * least(4.0 * len(list_filter(str_split_regex(lower(text), '\\s+'),
+             w -> w IN ('the','a','of','and','to','in','is','for','on','with')))
+             / greatest(len(str_split_regex(lower(text), '\\s+')), 1), 1.0)
+       + 0.2 * (1.0 - least(10.0 * length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+             / greatest(length(text), 1), 1.0)) AS q,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM cleaned
+)
+SELECT CASE WHEN CAST('0x' || substr(md5(doc_id || ':42'), 1, 8) AS BIGINT) % 10 < 9
+            THEN 'train' ELSE 'val' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(q), 3) AS avg_quality,
+       CAST(SUM(nd) AS BIGINT) AS tokens_dropped
+FROM scored
+WHERE q >= 0.3 AND n_tok >= 5
 GROUP BY 1
 """
 
@@ -3131,6 +3308,7 @@ _CATALOG = {
     "dedup_exact_substring_keep1": q_exact_substring_keep1,
     "decon_ngram_overlap": q_decon_ngrams,
     "p9_near_dup_prep": q_near_dup_prep,
+    "p11_substring_prep": q_substring_prep,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "sim_ann_lsh": q_ann_lsh,
@@ -3292,6 +3470,7 @@ ORACLES = {
     "dedup_exact_substring_keep1": _SQL_EXACT_SUBSTRING_KEEP1,
     "decon_ngram_overlap": _SQL_DECON_NGRAMS,
     "p9_near_dup_prep": _near_dup_prep_sql(),
+    "p11_substring_prep": _substring_prep_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "w4_rank_frames": _SQL_RANK_FRAMES,
