@@ -323,6 +323,7 @@ def main() -> None:
         "p10_pack_corpus": pack_corpus,
         "p8_training_prep": lambda: Q.q_training_prep(spark, SF_DIR),
         "p9_near_dup_prep": lambda: Q.q_near_dup_prep(spark, SF_DIR),
+        "p11_substring_prep": lambda: Q.q_substring_prep(spark, SF_DIR),
         "mm_media_features": lambda: Q.q_media_features(spark, SF_DIR),
     }
 
