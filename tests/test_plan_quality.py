@@ -347,6 +347,36 @@ def test_incremental_dedup_shuffles_no_text(spark, Q):
     assert "BatchEvalPython" not in p
 
 
+def test_minhash_band_exchanges_are_signature_free(spark, Q):
+    """The r3 embedding-LSH payload finding applies to MinHash too: the
+    banded self-join (and the incremental new-vs-seen band join) must
+    shuffle only (id, band_id, band_hash) rows — the 64-long signature
+    would otherwise ride the band exchange ``bands`` (=16) times. The
+    signatures join back by id onto the deduplicated pairs, so at most two
+    keyed exchanges total (one per pair side) may carry a minhash column.
+    (The simhash chunk join is exempt by design: its signature is ONE long,
+    smaller than the band key row — inline carry IS the narrow form.)"""
+    from texteller_spark.operators.dedup import release_caches
+
+    try:
+        for qfn in (Q.q_minhash_lsh, Q.q_incremental_dedup):
+            exs = exchange_inputs(qfn(spark, SF))
+            assert exs, qfn.__name__  # the band join exists and shuffles
+            for args, inputs in exs:
+                if "band" in args:  # a band-keyed exchange: must be narrow
+                    assert "minhash#" not in inputs and "sig_" not in inputs, (
+                        qfn.__name__, args, inputs,
+                    )
+            n_sig = sum(
+                1
+                for _, inputs in exs
+                if "minhash#" in inputs or "sig_" in inputs
+            )
+            assert n_sig <= 2, (qfn.__name__, exs)
+    finally:
+        release_caches()
+
+
 def test_exact_substring_dedup_shuffles_no_text(spark, Q):
     # EXACTSUBSTR's counting aggregate and coverage join must move only
     # (id, pos, hash) / (id, token-position) rows; the document text rides

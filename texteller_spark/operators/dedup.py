@@ -256,34 +256,47 @@ def with_minhash(df: DataFrame, text_col: str = "text", shingle_k: int = 3) -> D
 def _band_explode(
     sigs: DataFrame, id_col: str, sig_col: str, bands: int
 ) -> DataFrame:
-    """One row per (doc, band): the raw signature slice as the band key."""
+    """One NARROW row per (doc, band): ``(id, band_id, band_hash)`` only —
+    the raw signature slice is the band key, but the FULL signature must
+    not ride along (it would cross the band exchange ``bands`` times, the
+    same payload-×bands defect the r3 verdict flagged on the embedding
+    LSH joins). Callers that need the signatures post-join rejoin them by
+    id from the materialized signature frame."""
     rows_per_band = _N_HASHES // bands
     return sigs.select(
         F.col(id_col).alias("id"),
-        sig_col,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
             )
         ).alias("band_id", "band_hash"),
-    ).select("id", sig_col, "band_id", "band_hash")
+    )
 
 
-def _bucket_join_pairs(banded: DataFrame, sig_col: str) -> DataFrame:
-    """Same-bucket candidate pairs via the banded self-join.
+def _bucket_join_pairs(
+    banded: DataFrame, sigs: DataFrame, id_col: str, sig_col: str
+) -> DataFrame:
+    """Same-bucket candidate pairs via the banded self-join, with the band
+    exchange SIGNATURE-FREE: the self-join shuffles only the ~20-byte
+    ``(id, band_id, band_hash)`` rows, the deduplicated id pairs then join
+    ``sig_col`` back from ``sigs`` by id — so each signature crosses a
+    keyed exchange at most once per pair side instead of ``bands`` times
+    (the r3 embedding-LSH fix applied to minhash, whose 64-long signature
+    is the widest column in the job after the text itself).
 
-    ``banded`` must be backed by a materialized signature stage (persisted
-    here; an intermediate Iceberg signature table in production — the same
-    resumable-checkpoint pattern as the span table) so the Arrow signature
-    kernel runs ONCE, not once per join side: Spark does not plan a
-    ReusedExchange across Python eval nodes, so an unmaterialized self-join
-    re-executes the UDF on both sides. The join itself streams bucket
-    collisions (no per-bucket array materialization — a hot bucket degrades
-    to extra join output rows spread across tasks, not one quadratic task).
+    ``banded``/``sigs`` must be backed by ONE materialized signature stage
+    (persisted here; an intermediate Iceberg signature table in production
+    — the same resumable-checkpoint pattern as the span table) so the
+    Arrow signature kernel runs ONCE, not once per join side: Spark does
+    not plan a ReusedExchange across Python eval nodes, so an
+    unmaterialized self-join re-executes the UDF on both sides. The join
+    itself streams bucket collisions (no per-bucket array materialization
+    — a hot bucket degrades to extra join output rows spread across
+    tasks, not one quadratic task).
     """
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pair_ids = (
         a.join(
             b,
             on=[
@@ -292,14 +305,12 @@ def _bucket_join_pairs(banded: DataFrame, sig_col: str) -> DataFrame:
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col(f"a.{sig_col}").alias("sig_a"),
-            F.col(f"b.{sig_col}").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"))
+    return pair_ids.join(sa, "id_a").join(sb, "id_b")
 
 
 def minhash_lsh_pairs(
@@ -319,13 +330,17 @@ def minhash_lsh_pairs(
     not a digest of it — so band membership is exactly slice equality and
     the emitted pair set matches the SQL oracle bit-for-bit (a digest
     collision could otherwise admit a candidate the oracle never sees).
+    The band exchange is SIGNATURE-FREE (plan-pinned): only ``(id,
+    band_id, band_hash)`` rows shuffle; the full 64-long signature joins
+    back by id onto the deduplicated pairs for the ``est_jaccard`` check,
+    crossing a keyed exchange once per pair side instead of ×bands.
 
     The signature stage stays persisted until :func:`release_caches` —
     consume the pairs inside ``with signature_cache():`` (or call
     ``release_caches()``) to bound session memory."""
     sigs = _materialize(with_minhash(df, text_col, shingle_k).select(id_col, "minhash"))
     banded = _band_explode(sigs, id_col, "minhash", bands)
-    cand = _bucket_join_pairs(banded, "minhash")
+    cand = _bucket_join_pairs(banded, sigs, id_col, "minhash")
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
@@ -398,7 +413,13 @@ def incremental_dedup_decisions(
     agree = F.size(
         F.filter(F.zip_with("sig_n", "sig_s", lambda x, y: x == y), lambda v: v)
     )
-    near_ids = (
+    # band exchanges are signature-free (same narrow form as
+    # _bucket_join_pairs): the new-vs-seen collision join moves only
+    # (id, band_id, band_hash) rows, pairs deduplicate BEFORE the
+    # signatures join back by id — so a pair colliding in several bands
+    # is verified once, and each signature crosses a keyed exchange at
+    # most once per side instead of ×bands
+    cand = (
         nb.join(
             sb,
             on=[
@@ -406,13 +427,20 @@ def incremental_dedup_decisions(
                 F.col("n.band_hash") == F.col("s.band_hash"),
             ],
         )
-        .select(
-            F.col("n.id").alias("id"),
-            F.col("n.minhash").alias("sig_n"),
-            F.col("s.minhash").alias("sig_s"),
-        )
+        .select(F.col("n.id").alias("_nid"), F.col("s.id").alias("_sid"))
+        .dropDuplicates(["_nid", "_sid"])
+    )
+    sig_n = new_sigs.select(
+        F.col(id_col).alias("_nid"), F.col("minhash").alias("sig_n")
+    )
+    sig_s = seen_sigs.select(
+        F.col(id_col).alias("_sid"), F.col("minhash").alias("sig_s")
+    )
+    near_ids = (
+        cand.join(sig_n, "_nid")
+        .join(sig_s, "_sid")
         .filter(agree / F.lit(_N_HASHES) >= threshold)
-        .select("id")
+        .select(F.col("_nid").alias("id"))
         .distinct()
         .withColumn("_n", F.lit(1))
     )
@@ -482,7 +510,28 @@ def simhash_near_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    cand = _bucket_join_pairs(chunked, "simhash")
+    # The simhash signature is ONE long (8 bytes) — smaller than the band
+    # key row itself — so carrying it inline through the chunk join IS the
+    # narrow form; the rejoin-by-id pattern `_bucket_join_pairs` uses for
+    # the 64-long minhash signature would add two joins to save nothing.
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", ham)
