@@ -3396,6 +3396,11 @@ _DRIVER_LAST_CHECKED = {
 _CHANGED_SINCE_CHECK = {
     "sim_ann_join",  # r4: vector-free band exchange + multiprobe knob
     "dedup_embedding_lsh",  # r4: vector-free band exchange
+    "dedup_minhash_lsh",  # r4: signature-free band exchange
+    "dedup_incremental",  # r4: signature-free band join + pair dedup
+    "dedup_simhash",  # r4: inlined chunk join (deliberate inline carry)
+    "dedup_clusters",  # r4: consumes the signature-free pair finder
+    "p9_near_dup_prep",  # r4: consumes the signature-free pair finder
 }
 
 # Least-recently-verified first; Python's sort is stable, so entries with
