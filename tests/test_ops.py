@@ -565,6 +565,56 @@ def test_ann_join_multiprobe_improves_recall(spark):
     assert r8 >= 0.5
 
 
+def test_minhash_recall_floors_on_planted_mutations(spark):
+    """Recall floors for `minhash_lsh_pairs` on the planted-mutation corpus
+    of tools/bench_minhash_recall.py (500 base docs + one mutant each at
+    deterministic substitution rates 0-30%, exact Jaccard per pair from the
+    system's own shingle function). Floors sit well under the measured
+    100k-doc curve (BENCH.md "MinHash recall/cost": 0.53 @ j∈[0.5,0.6),
+    0.98 @ j≥0.9, precision 0.79 at bands=16) so host noise never trips
+    them, but a regression in the signature kernel, banding, or the
+    est_jaccard filter does. Unrelated docs share no 3-shingle by
+    construction, so every emitted pair must be a planted one."""
+    from texteller_spark.operators.dedup import (
+        _shingle_hashes,
+        minhash_lsh_pairs,
+        release_caches,
+    )
+    from tools.bench_minhash_recall import MUT_ID_OFFSET, build_texts
+
+    n_base = 500
+    rows, exact_j = [], {}
+    for doc_id in range(n_base):
+        base, mut = build_texts(doc_id)
+        rows += [(doc_id, base), (doc_id + MUT_ID_OFFSET, mut)]
+        sa = set(_shingle_hashes(base, 3).tolist())
+        sb = set(_shingle_hashes(mut, 3).tolist())
+        inter = len(sa & sb)
+        exact_j[doc_id] = inter / (len(sa) + len(sb) - inter)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    try:
+        got = minhash_lsh_pairs(df, bands=16, threshold=0.5).collect()
+    finally:
+        release_caches()
+    assert got  # the planted high-j pairs must surface
+    found = set()
+    for r in got:
+        # no cross pairs: disjoint token spaces → nothing unrelated admits
+        assert r["id_b"] - r["id_a"] == MUT_ID_OFFSET, (r["id_a"], r["id_b"])
+        found.add(r["id_a"])
+
+    def recall(lo, hi):
+        bucket = [d for d, j in exact_j.items() if lo <= j < hi]
+        return len([d for d in bucket if d in found]) / len(bucket)
+
+    assert recall(0.9, 1.01) >= 0.9
+    assert recall(0.5, 0.7) >= 0.3
+    assert recall(0.8, 1.01) >= recall(0.5, 0.6)
+    n_true = len([d for d in found if exact_j[d] >= 0.5])
+    assert n_true / len(found) >= 0.6  # precision vs true Jaccard
+
+
 def test_textops_values(spark):
     from texteller_spark.operators import textops
 
