@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -59,6 +60,7 @@ def main():
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("bench-minhash-shuffle")
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4057")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -117,10 +119,16 @@ def main():
         ("old_signature_rides_bands", lambda: old_style_pairs(corpus)),
     ):
         before = shuffle_write_bytes(ui)
+        t0 = time.perf_counter()
         n = build().count()
+        wall = round(time.perf_counter() - t0, 1)
         release_caches()
         after = shuffle_write_bytes(ui)
-        results[label] = {"pairs": n, "shuffle_write_mb": round((after - before) / 1e6, 1)}
+        results[label] = {
+            "pairs": n,
+            "shuffle_write_mb": round((after - before) / 1e6, 1),
+            "sec": wall,
+        }
 
     new_mb = results["new_signature_free"]["shuffle_write_mb"]
     old_mb = results["old_signature_rides_bands"]["shuffle_write_mb"]
