@@ -3387,21 +3387,38 @@ _DRIVER_LAST_CHECKED = {
         ],
         2,
     ),
+    # recorded in CORRECTNESS_r04.json (all 50 green except flagship's
+    # permanent rows-only cell) — overrides the older stamps above, so the
+    # 29 entries the r04 cap clipped sort to the head for round 5
+    **dict.fromkeys(
+        [
+            "dedup_embedding_lsh", "dedup_minhash_lsh", "dedup_clusters",
+            "dedup_incremental", "dedup_exact_substring",
+            "dedup_exact_substring_keep1", "p9_near_dup_prep",
+            "p11_substring_prep", "dedup_simhash", "sim_ann_join",
+            "q1_pricing_summary", "j2_region_rollup", "q9_profit_star",
+            "w2_interval_merge", "k1_topk_per_group", "dedup_exact",
+            "sim_cosine_topk", "skew_salted_agg", "a3_rollup",
+            "text_lang_id", "text_fingerprint", "q17_small_qty",
+            "a2_ordered_concat", "w1_first_per_group", "text_token_stats",
+            "j5_next_event", "q3_shipping_priority", "j1_zip_positional",
+            "q6_revenue_scalar", "a1_mode", "k2_global_topk", "set_ops",
+            "set_distinct", "f_json_extract", "f_array_stats", "f_date_ops",
+            "flagship_extract", "cluster_kmeans", "dedup_semantic",
+            "dedup_semantic_fitted", "j3_range_join", "j4_sessionize",
+            "web_link_graph", "web_domain_rank", "curation_sample_mixture",
+            "curation_quality_lr", "dedup_paragraphs", "text_pii_redact",
+            "text_nfc_normalize", "text_vocab_topk",
+        ],
+        4,
+    ),
 }
 
 #: Entries whose IMPLEMENTATION changed materially after their last driver
 #: check — their stamp is voided so the changed code re-verifies externally
 #: next round, regardless of rotation position. Clear when the next
 #: CORRECTNESS file records them.
-_CHANGED_SINCE_CHECK = {
-    "sim_ann_join",  # r4: vector-free band exchange + multiprobe knob
-    "dedup_embedding_lsh",  # r4: vector-free band exchange
-    "dedup_minhash_lsh",  # r4: signature-free band exchange
-    "dedup_incremental",  # r4: signature-free band join + pair dedup
-    "dedup_simhash",  # r4: inlined chunk join (deliberate inline carry)
-    "dedup_clusters",  # r4: consumes the signature-free pair finder
-    "p9_near_dup_prep",  # r4: consumes the signature-free pair finder
-}
+_CHANGED_SINCE_CHECK: set[str] = set()  # r4 set cleared: all 7 recorded green in r04
 
 # Least-recently-verified first; Python's sort is stable, so entries with
 # the same stamp keep their thematic _CATALOG order.

@@ -64,6 +64,11 @@ def run(master: str, cores: int) -> dict:
         SPARK_GRAFT_SF_DIR=SF_DIR,
         SPARK_GRAFT_BENCH_DOCS=str(N_DOCS),
         SPARK_GRAFT_BENCH_ONLY="pipeline_extract",
+        # single bench.py pass of REPS flagship runs: this tool does its own
+        # cross-level interleaving, so bench.py-internal passes would only
+        # multiply wall time (bench.py's default PASSES=3 targets the
+        # standalone full-suite run)
+        SPARK_GRAFT_BENCH_PASSES="1",
         SPARK_GRAFT_BENCH_REPS=str(REPS),
         SPARK_GRAFT_BENCH_WARMUP="2",  # each executor JVM JITs independently
         MALLOC_TRIM_THRESHOLD_="-1",

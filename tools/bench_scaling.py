@@ -35,13 +35,17 @@ REPS = 3  # bench.py reps per sample (interpolated into the BENCH.md text)
 
 
 def run(cpus: int, only: str = "", reps: int = REPS) -> dict:
+    # pipeline-only round samples: ONE bench.py pass of `reps` flagship runs
+    # (this tool interleaves across levels itself). Full-suite runs: bench.py's
+    # own interleaved-passes protocol (reps passes, one run per query per pass).
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=SF_DIR,
         SPARK_GRAFT_BENCH_DOCS=str(N_DOCS),
         SPARK_GRAFT_BENCH_ONLY=only,
-        SPARK_GRAFT_BENCH_REPS=str(reps),
+        SPARK_GRAFT_BENCH_PASSES="1" if only else str(reps),
+        SPARK_GRAFT_BENCH_REPS=str(reps) if only else "1",
         # glibc tuning inherited by the Python workers: avoid mmap/munmap per
         # large (>128 KiB) html string — munmap triggers cross-CPU TLB
         # shootdown IPIs that scale badly with worker count (+19% at 32c)
