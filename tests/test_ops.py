@@ -307,6 +307,76 @@ def test_duplicate_clusters_empty_pairs(spark):
     assert got == [(5, 5, 1), (7, 7, 1)]
 
 
+def test_minhash_band_star_edges_linear_count_and_same_closure(spark):
+    """On a fixture where every in-bucket collision is a true duplicate
+    (m identical copies + unrelated fillers), bucket-star mode emits m-1
+    edges where verified mode materializes the m(m-1)/2 clique — and the
+    cluster closure over either edge set is IDENTICAL (the operator's
+    equivalence contract when banding admits no false pairs)."""
+    from pyspark.sql import functions as F
+
+    from texteller_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_band_star_edges,
+        minhash_lsh_pairs,
+        release_caches,
+    )
+
+    m = 8
+    dup_text = "identical boilerplate " + " ".join(f"tok{j}" for j in range(30))
+    rows = [(i, dup_text) for i in range(m)] + [
+        (100 + i, f"unrelated document {i} " + " ".join(f"u{i}x{j}" for j in range(30)))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ids = df.select(F.col("doc_id").alias("id"))
+
+    star = minhash_band_star_edges(df, bands=16)
+    assert star.count() == m - 1  # one edge per non-min member, not a clique
+    got_star = sorted(map(tuple, duplicate_clusters(star, ids=ids).collect()))
+    release_caches()
+
+    verified = minhash_lsh_pairs(df, bands=16, threshold=0.5).select("id_a", "id_b")
+    assert verified.count() == m * (m - 1) // 2
+    got_ver = sorted(map(tuple, duplicate_clusters(verified, ids=ids).collect()))
+    release_caches()
+    assert got_star == got_ver
+    assert (0, 0, 1) in got_star  # the min id is canonical for the dup block
+
+
+def test_minhash_band_star_edges_skip_verification_is_coarser(spark):
+    """The documented precision trade: a BELOW-threshold pair that still
+    collides in a band becomes a star edge (no est_jaccard gate), merging
+    clusters verified mode keeps apart. bands=64 (one hash per band) makes
+    any shared minhash value a collision, so the planted j≈0.3 pair merges
+    under star mode while `minhash_lsh_pairs` at threshold=0.5 stays
+    empty."""
+    from pyspark.sql import functions as F
+
+    from texteller_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_band_star_edges,
+        minhash_lsh_pairs,
+        release_caches,
+    )
+
+    common = " ".join(f"c{j}" for j in range(20))
+    a = common + " " + " ".join(f"a{j}" for j in range(20))
+    b = common + " " + " ".join(f"b{j}" for j in range(20))
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    ids = df.select(F.col("doc_id").alias("id"))
+
+    verified = minhash_lsh_pairs(df, bands=64, threshold=0.5)
+    assert verified.count() == 0  # est_jaccard ≈ 0.3 rejected
+    release_caches()
+
+    star = minhash_band_star_edges(df, bands=64)
+    assert {tuple(r) for r in star.collect()} == {(1, 2)}
+    clusters = {tuple(r) for r in duplicate_clusters(star, ids=ids).collect()}
+    release_caches()
+    assert clusters == {(1, 1, 1), (2, 1, 0)}  # coarser: merged into one
+
+
 def test_remove_duplicate_lines_semantics(spark):
     """Cross-doc shared line drops everywhere; within-doc repeats, unique
     lines, and whitespace-only lines survive in original order; an all-dup

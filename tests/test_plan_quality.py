@@ -377,6 +377,28 @@ def test_minhash_band_exchanges_are_signature_free(spark, Q):
         release_caches()
 
 
+def test_star_edges_exchanges_narrow_and_no_self_join(spark):
+    """Bucket-star mode's whole point is the scale posture: NO band
+    self-join (the signature kernel runs once, unmaterialized), and every
+    exchange narrow — neither the 64-long minhash signature nor the text
+    may ride the window-min or edge-dedup shuffles."""
+    from pyspark.sql import functions as F
+
+    from texteller_spark.operators.dedup import minhash_band_star_edges
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    edges = minhash_band_star_edges(df, bands=16)
+    exs = exchange_inputs(edges)
+    assert exs  # window-min + dedup exchanges exist
+    for args, inputs in exs:
+        if "RoundRobinPartitioning" in args:
+            continue  # _widen's parallelism spread — pre-kernel, unkeyed
+        assert "minhash#" not in inputs and "text#" not in inputs, (args, inputs)
+    # one signature kernel: exactly one ArrowEvalPython node in the plan
+    plan = plan_of(edges)
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
 def test_exact_substring_dedup_shuffles_no_text(spark, Q):
     # EXACTSUBSTR's counting aggregate and coverage join must move only
     # (id, pos, hash) / (id, token-position) rows; the document text rides

@@ -45,6 +45,7 @@ __all__ = [
     "exact_duplicate_groups",
     "with_minhash",
     "minhash_lsh_pairs",
+    "minhash_band_star_edges",
     "with_simhash",
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
@@ -349,6 +350,61 @@ def minhash_lsh_pairs(
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_band_star_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Approximate near-dup edges for templated corpora: one STAR edge per
+    (band bucket, member) — ``(id_a, id_b)`` with ``id_a`` the bucket's
+    minimum id — instead of :func:`minhash_lsh_pairs`'s verified all-pairs
+    (the NeMo-Curator fuzzy-dedup bucket shape).
+
+    Why: feeding :func:`duplicate_clusters`, in-bucket all-pairs are
+    redundant — a star over each bucket yields the SAME connected
+    components as the bucket's clique (every member reaches the min id;
+    buckets chain through shared members), so a hot bucket of ``m``
+    near-identical docs emits ``m-1`` edges instead of ``m(m-1)/2``
+    verified pairs. On a templated crawl pair materialization is the
+    binding cost of the whole dedup chain (the p11 capstone's sf0.1
+    fixture yields 791k verified pairs for 40k docs, closure-dominated —
+    BENCH.md), and at 10^12 docs a boilerplate template shared by 10^6
+    pages makes the quadratic form unrunnable outright.
+
+    The trade is PRECISION, not recall: there is no ``est_jaccard``
+    verification, so any band collision — a near-threshold pair the
+    verifier would reject, or an outright banding false positive — becomes
+    an edge and can merge clusters that verified mode keeps apart. The
+    resulting components are therefore always coarser-or-equal: as a dedup
+    decision, star mode removes a superset of the docs verified mode
+    removes. It is exactly equivalent whenever every in-bucket collision
+    is a true duplicate (pinned in tests on a planted fixture); use it
+    when banding is tuned tight (high rows-per-band) or over-deletion is
+    acceptable, and verified mode when cluster purity matters.
+
+    Scale shape: the signature kernel runs ONCE and there is NO self-join
+    (so no materialization/persist is needed — star mode also drops the
+    :func:`release_caches` obligation for this stage); the only exchanges
+    are the window-min on ``(band_id, band_hash)`` over ~20-byte narrow
+    rows and the final edge ``dropDuplicates`` — O(n·bands) rows end to
+    end, never quadratic in bucket size.
+    """
+    from pyspark.sql.window import Window
+
+    sigs = with_minhash(df, text_col, shingle_k).select(id_col, "minhash")
+    banded = _band_explode(sigs, id_col, "minhash", bands)
+    w = Window.partitionBy("band_id", "band_hash")
+    return (
+        banded.select(
+            F.min("id").over(w).alias("id_a"), F.col("id").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

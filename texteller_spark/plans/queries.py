@@ -22,6 +22,7 @@ from ..operators.dedup import (
     duplicate_clusters,
     exact_duplicate_groups,
     incremental_dedup_decisions,
+    minhash_band_star_edges,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     remove_duplicate_lines,
@@ -2031,19 +2032,13 @@ def q_dedup_clusters(spark, sf):
     )
 
 
-def _closure_ctes(threshold: float = 0.5) -> str:
-    """Recursive-closure CTEs over the MinHash ``agree`` stage: `reach`
-    enumerates, for every node, each component member whose label can
-    reach it along undirected edges (UNION dedups, so the fixpoint
-    terminates); MIN over that set is the canonical (minimum) id — the
-    same contract `duplicate_clusters` guarantees. Must follow
-    `_minhash_ctes` under a ``WITH RECURSIVE`` header."""
-    from ..operators.dedup import _N_HASHES
-
-    return f"""pairs AS (
-  SELECT id_a, id_b FROM agree WHERE n_eq / {_N_HASHES}.0 >= {threshold}
-),
-edges AS (
+#: undirected closure over any ``pairs(id_a, id_b)`` CTE: `reach`
+#: enumerates, for every node, each component member whose label can reach
+#: it along undirected edges (UNION dedups, so the fixpoint terminates);
+#: MIN over that set is the canonical (minimum) id — the same contract
+#: `duplicate_clusters` guarantees. Must sit under a ``WITH RECURSIVE``
+#: header and after a ``corpus(id, ...)`` CTE.
+_SQL_CLOSURE_TAIL = """edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM pairs
@@ -2055,6 +2050,31 @@ reach (id, lab) AS (
 )"""
 
 
+def _closure_ctes(threshold: float = 0.5) -> str:
+    """Recursive closure over the VERIFIED MinHash pairs (``agree`` stage
+    admitted at ``threshold``). Must follow `_minhash_ctes` under a
+    ``WITH RECURSIVE`` header."""
+    from ..operators.dedup import _N_HASHES
+
+    return f"""pairs AS (
+  SELECT id_a, id_b FROM agree WHERE n_eq / {_N_HASHES}.0 >= {threshold}
+),
+{_SQL_CLOSURE_TAIL}"""
+
+
+#: recursive closure over UNVERIFIED bucket-star edges (the
+#: `minhash_band_star_edges` contract: one edge per (band bucket, member)
+#: to the bucket's min id — no est_jaccard admission). Must follow
+#: `_sig_ctes` under a ``WITH RECURSIVE`` header.
+_SQL_STAR_CLOSURE_CTES = f"""pairs AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT MIN(id) OVER (PARTITION BY band_id, band_key) AS id_a, id AS id_b
+    FROM bands
+  ) WHERE id_a < id_b
+),
+{_SQL_CLOSURE_TAIL}"""
+
+
 def _clusters_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
     return f"""
 WITH RECURSIVE {_minhash_ctes(bands, k)},
@@ -2063,6 +2083,57 @@ SELECT id, MIN(lab) AS cluster_id,
        CAST(CASE WHEN MIN(lab) = id THEN 1 ELSE 0 END AS INT) AS is_canonical
 FROM reach GROUP BY id
 """
+
+
+def q_dedup_clusters_star(spark, sf):
+    """Bucket-star cluster closure (`minhash_band_star_edges` →
+    `duplicate_clusters`): the NeMo-Curator-style approximation for
+    templated corpora — one star edge per (band bucket, member) instead
+    of verified all-pairs, so a hot bucket of m near-copies feeds the
+    closure m-1 edges, not m(m-1)/2 verified pairs. No est_jaccard
+    admission: components are coarser-or-equal vs `dedup_clusters`
+    (documented precision trade; equal when every in-bucket collision is
+    a true dup). The oracle recomputes the star edges and the recursive
+    closure in SQL — value-exact, not an approximation of the oracle."""
+    corpus = _near_dup_corpus(spark, sf)
+    edges = minhash_band_star_edges(corpus, bands=16)
+    return duplicate_clusters(
+        edges, ids=corpus.select(F.col("doc_id").alias("id"))
+    )
+
+
+def _clusters_star_sql(bands: int = 16, k: int = 3) -> str:
+    """Star-closure oracle: signature chain → per-bucket min-id star edges
+    (window MIN, no verification stage) → the shared recursive closure."""
+    return f"""
+WITH RECURSIVE {_sig_ctes(_SQL_CORPUS_CTE, bands, k)},
+{_SQL_STAR_CLOSURE_CTES}
+SELECT id, MIN(lab) AS cluster_id,
+       CAST(CASE WHEN MIN(lab) = id THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+def _fuzzy_canon(corpus, edges: str = "verified"):
+    """Canonical (min-id) survivor ids after MinHash fuzzy dedup — the
+    pair-find → transitive-closure → keep-canonical chain shared by the
+    p9/p11 capstones. ``edges="verified"`` runs
+    :func:`minhash_lsh_pairs` (est_jaccard-admitted all-pairs);
+    ``edges="bucket_star"`` runs :func:`minhash_band_star_edges` (O(m)
+    min-id star edges per band bucket, no verification — the templated-
+    corpus scale mode; components coarser-or-equal)."""
+    if edges == "bucket_star":
+        pairs = minhash_band_star_edges(corpus, bands=16)
+    elif edges == "verified":
+        pairs = minhash_lsh_pairs(corpus, bands=16, threshold=0.5).select(
+            "id_a", "id_b"
+        )
+    else:
+        raise ValueError(f"edges must be 'verified' or 'bucket_star', got {edges!r}")
+    clusters = duplicate_clusters(
+        pairs, ids=corpus.select(F.col("doc_id").alias("id"))
+    )
+    return clusters.filter(F.col("is_canonical") == 1).select("id")
 
 
 def q_near_dup_prep(spark, sf):
@@ -2077,12 +2148,14 @@ def q_near_dup_prep(spark, sf):
     as a LEFT SEMI on the id; text never shuffles (all text-derived
     columns computed at the scan)."""
     corpus = _near_dup_corpus(spark, sf)
-    pairs = minhash_lsh_pairs(corpus, bands=16, threshold=0.5)
-    clusters = duplicate_clusters(
-        pairs.select("id_a", "id_b"),
-        ids=corpus.select(F.col("doc_id").alias("id")),
-    )
-    canon = clusters.filter(F.col("is_canonical") == 1).select("id")
+    return _p9_admission(corpus, _fuzzy_canon(corpus))
+
+
+def _p9_admission(corpus, canon):
+    """The p9 quality/token admission + salted 90/10 split + per-split
+    aggregate over the canonical survivor set — shared by the verified
+    (`q_near_dup_prep`) and bucket-star (`q_near_dup_prep_star`) capstones,
+    mirroring `_SQL_P9_ADMISSION` on the oracle side."""
     bucket = (
         F.conv(
             F.substring(
@@ -2108,16 +2181,10 @@ def q_near_dup_prep(spark, sf):
     )
 
 
-def _near_dup_prep_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
-    """p9 oracle: the recursive MinHash closure (shared CTEs) feeding the
-    p8 quality/split admission — canonical survivors only."""
-    return f"""
-WITH RECURSIVE {_minhash_ctes(bands, k)},
-{_closure_ctes(threshold)},
-canon AS (
-  SELECT id FROM reach GROUP BY id HAVING MIN(lab) = id
-),
-scored AS (
+#: p9 admission tail over ``canon(id)`` + ``corpus(id, text)``: quality /
+#: token scoring, the md5 split bucket, and the per-split aggregate —
+#: shared verbatim by the verified and bucket-star p9 oracles.
+_SQL_P9_ADMISSION = """scored AS (
   SELECT id,
          0.4 * least(length(text) / 500.0, 1.0)
        + 0.4 * least(4.0 * len(list_filter(str_split_regex(lower(text), '\\s+'),
@@ -2137,6 +2204,43 @@ FROM scored s JOIN canon c ON s.id = c.id
 WHERE s.q >= 0.5 AND s.n_tok >= 5 AND s.n_tok < 1014
 GROUP BY 1
 """
+
+
+def _near_dup_prep_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
+    """p9 oracle: the recursive MinHash closure (shared CTEs) feeding the
+    p8 quality/split admission — canonical survivors only."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(bands, k)},
+{_closure_ctes(threshold)},
+canon AS (
+  SELECT id FROM reach GROUP BY id HAVING MIN(lab) = id
+),
+{_SQL_P9_ADMISSION}"""
+
+
+def q_near_dup_prep_star(spark, sf):
+    """p9 capstone in bucket-star edge mode: identical admission/split
+    chain, but the closure input is `minhash_band_star_edges` (O(m) min-id
+    star edges per band bucket, no est_jaccard verification) instead of
+    verified all-pairs — the NeMo-Curator-style templated-corpus scale
+    mode. Components are coarser-or-equal, so the star canon set is a
+    subset of verified mode's; on this fixture (mutants straddling the
+    threshold) the split counts measurably differ from p9 — the oracle
+    recomputes the same star closure, so the entry is value-exact."""
+    corpus = _near_dup_corpus(spark, sf)
+    return _p9_admission(corpus, _fuzzy_canon(corpus, edges="bucket_star"))
+
+
+def _near_dup_prep_star_sql(bands: int = 16, k: int = 3) -> str:
+    """p9 bucket-star oracle: signature chain → star edges → recursive
+    closure → the shared admission tail."""
+    return f"""
+WITH RECURSIVE {_sig_ctes(_SQL_CORPUS_CTE, bands, k)},
+{_SQL_STAR_CLOSURE_CTES},
+canon AS (
+  SELECT id FROM reach GROUP BY id HAVING MIN(lab) = id
+),
+{_SQL_P9_ADMISSION}"""
 
 
 #: 12-token boilerplate planted in the p11 fixture (>= the window=8 rule)
@@ -2167,8 +2271,13 @@ def q_substring_prep(spark, sf):
     injection the substring stage would be a measured no-op. The min-id
     boilerplate holder keeps the sentence intact (keep="first"); every
     other holder loses exactly those tokens."""
-    from ..operators.dedup import remove_repeated_substrings
+    return _p11_admission(_p11_corpus(spark, sf), edges="verified")
 
+
+def _p11_corpus(spark, sf):
+    """The template-dense p11 fixture: boilerplate appended to every 5th
+    doc, then a +10M near-dup mutant of EVERY doc (mirrors
+    `_SQL_P11_CORPUS_CTE`)."""
     d = _t(spark, sf, "documents").select("doc_id", "text")
     base = d.select(
         "doc_id",
@@ -2179,18 +2288,22 @@ def q_substring_prep(spark, sf):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    corpus = base.unionByName(
+    return base.unionByName(
         base.select(
             (F.col("doc_id") + 10_000_000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" appended mutation token")).alias("text"),
         )
     )
-    pairs = minhash_lsh_pairs(corpus, bands=16, threshold=0.5)
-    clusters = duplicate_clusters(
-        pairs.select("id_a", "id_b"),
-        ids=corpus.select(F.col("doc_id").alias("id")),
-    )
-    canon = clusters.filter(F.col("is_canonical") == 1).select("id")
+
+
+def _p11_admission(corpus, edges: str = "verified"):
+    """The p11 chain downstream of the fixture: fuzzy canon (verified or
+    bucket-star edges) → keep-first EXACTSUBSTR over the survivors →
+    quality/token admission on the cleaned text → salted split → per-split
+    aggregate (docs, mean quality, tokens the substring pass dropped)."""
+    from ..operators.dedup import remove_repeated_substrings
+
+    canon = _fuzzy_canon(corpus, edges=edges)
     survivors = corpus.join(canon, corpus["doc_id"] == canon["id"], "left_semi")
     cleaned = remove_repeated_substrings(survivors, window=8, keep="first")
     bucket = (
@@ -2221,13 +2334,10 @@ def q_substring_prep(spark, sf):
     )
 
 
-def _substring_prep_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
-    """p11 oracle: the recursive MinHash closure (shared CTEs) → canonical
-    survivors → the keep-first EXACTSUBSTR string-matching chain (same
-    CTEs as `_SQL_EXACT_SUBSTRING_KEEP1`, scoped to survivors) → the p9
-    quality/token admission over the CLEANED text. The corpus CTE mirrors
-    the boilerplate injection verbatim."""
-    corpus_cte = f"""p11base AS (
+#: p11 boilerplate-injection corpus CTE (every 5th doc carries the
+#: 12-token boilerplate; EVERY doc has a +10M near-dup mutant — the
+#: adversarial template-dense shape)
+_SQL_P11_CORPUS_CTE = f"""p11base AS (
   SELECT doc_id AS id,
          CASE WHEN doc_id % 5 = 0 THEN text || ' {_P11_BOILER}'
               ELSE text END AS text
@@ -2239,13 +2349,29 @@ corpus AS (
   SELECT id + 10000000 AS id, text || ' appended mutation token' AS text
   FROM p11base
 )"""
-    return f"""
-WITH RECURSIVE {_minhash_ctes(bands, k, corpus_cte)},
-{_closure_ctes(threshold)},
-canon AS (
-  SELECT id FROM reach GROUP BY id HAVING MIN(lab) = id
+
+#: p11 realistic-mix corpus CTE (low dup rate: boilerplate on every 10th
+#: doc, a near-dup mutant for every 4th — the companion fixture that keeps
+#: the capstone's bench trend from being 100% closure-dominated)
+_SQL_P11_MIX_CORPUS_CTE = f"""p11mix AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' {_P11_BOILER}'
+              ELSE text END AS text
+  FROM documents
 ),
-surv AS (
+corpus AS (
+  SELECT id, text FROM p11mix
+  UNION ALL
+  SELECT id + 10000000 AS id, text || ' appended mutation token' AS text
+  FROM p11mix WHERE id % 4 = 0
+)"""
+
+#: p11 tail over ``canon(id)`` + ``corpus(id, text)``: survivors →
+#: keep-first EXACTSUBSTR string-matching chain (same CTEs as
+#: `_SQL_EXACT_SUBSTRING_KEEP1`, scoped to survivors) → quality/token
+#: admission over the CLEANED text → salted split aggregate. Shared by the
+#: verified / bucket-star / realistic-mix p11 oracles.
+_SQL_P11_TAIL = """surv AS (
   SELECT c.id AS doc_id, c.text FROM corpus c JOIN canon n ON c.id = n.id
 ),
 stoks AS (
@@ -2312,6 +2438,78 @@ FROM scored
 WHERE q >= 0.3 AND n_tok >= 5
 GROUP BY 1
 """
+
+
+def _substring_prep_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
+    """p11 oracle: the recursive MinHash closure (shared CTEs) → canonical
+    survivors → the shared EXACTSUBSTR/admission tail. The corpus CTE
+    mirrors the boilerplate injection verbatim."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(bands, k, _SQL_P11_CORPUS_CTE)},
+{_closure_ctes(threshold)},
+canon AS (
+  SELECT id FROM reach GROUP BY id HAVING MIN(lab) = id
+),
+{_SQL_P11_TAIL}"""
+
+
+def q_substring_prep_star(spark, sf):
+    """p11 capstone in bucket-star edge mode: same template-dense fixture
+    and EXACTSUBSTR/admission chain, but the fuzzy-dedup closure consumes
+    `minhash_band_star_edges` (O(m) star edges per band bucket, no
+    est_jaccard verification) instead of verified all-pairs. On the sf0.1
+    fixture this collapses the closure's edge input ~99% (BENCH.md) —
+    the templated-corpus scale mode the verdict's NeMo-Curator analog
+    names. Value-exact oracle: the SQL recomputes the same star closure."""
+    return _p11_admission(_p11_corpus(spark, sf), edges="bucket_star")
+
+
+def _substring_prep_star_sql(bands: int = 16, k: int = 3) -> str:
+    return f"""
+WITH RECURSIVE {_sig_ctes(_SQL_P11_CORPUS_CTE, bands, k)},
+{_SQL_STAR_CLOSURE_CTES},
+canon AS (
+  SELECT id FROM reach GROUP BY id HAVING MIN(lab) = id
+),
+{_SQL_P11_TAIL}"""
+
+
+def q_substring_prep_mix(spark, sf):
+    """p11 capstone on the realistic-mix companion fixture (the r4
+    verdict's Next #6): a LOW-dup-rate corpus — boilerplate on every 10th
+    doc, a near-dup mutant for every 4th — so the capstone's cost is no
+    longer 100% closure-dominated and substring-stage changes are visible
+    in the bench trend (the template-dense `p11_substring_prep` fixture
+    stays as the adversarial-max case). Same verified-pair closure,
+    EXACTSUBSTR keep-first pass, and admission chain; same composed
+    recursive oracle pattern."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" " + _P11_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended mutation token")).alias("text"),
+        )
+    )
+    return _p11_admission(corpus, edges="verified")
+
+
+def _substring_prep_mix_sql(bands: int = 16, threshold: float = 0.5, k: int = 3) -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes(bands, k, _SQL_P11_MIX_CORPUS_CTE)},
+{_closure_ctes(threshold)},
+canon AS (
+  SELECT id FROM reach GROUP BY id HAVING MIN(lab) = id
+),
+{_SQL_P11_TAIL}"""
 
 
 def _line_corpus(spark, sf):
@@ -3302,13 +3500,17 @@ _CATALOG = {
     "stream_first_seen": q_stream_first_seen,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_incremental": q_incremental_dedup,
     "dedup_lines": q_dedup_lines,
     "dedup_exact_substring": q_exact_substring,
     "dedup_exact_substring_keep1": q_exact_substring_keep1,
     "decon_ngram_overlap": q_decon_ngrams,
     "p9_near_dup_prep": q_near_dup_prep,
+    "p9_near_dup_prep_star": q_near_dup_prep_star,
     "p11_substring_prep": q_substring_prep,
+    "p11_substring_prep_star": q_substring_prep_star,
+    "p11_substring_prep_mix": q_substring_prep_mix,
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "sim_ann_lsh": q_ann_lsh,
@@ -3487,12 +3689,16 @@ ORACLES = {
     "sim_ann_join": _ann_join_sql(),
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_clusters": _clusters_sql(),
+    "dedup_clusters_star": _clusters_star_sql(),
     "dedup_lines": _SQL_DEDUP_LINES,
     "dedup_exact_substring": _SQL_EXACT_SUBSTRING,
     "dedup_exact_substring_keep1": _SQL_EXACT_SUBSTRING_KEEP1,
     "decon_ngram_overlap": _SQL_DECON_NGRAMS,
     "p9_near_dup_prep": _near_dup_prep_sql(),
+    "p9_near_dup_prep_star": _near_dup_prep_star_sql(),
     "p11_substring_prep": _substring_prep_sql(),
+    "p11_substring_prep_star": _substring_prep_star_sql(),
+    "p11_substring_prep_mix": _substring_prep_mix_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "w4_rank_frames": _SQL_RANK_FRAMES,
