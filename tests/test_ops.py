@@ -377,6 +377,42 @@ def test_minhash_band_star_edges_skip_verification_is_coarser(spark):
     assert clusters == {(1, 1, 1), (2, 1, 0)}  # coarser: merged into one
 
 
+def test_exact_substring_salted_join_identical_output(spark):
+    """`salt_buckets` is a pure execution-strategy knob: on the hot-key
+    fixture (one window hash shared by most docs — the boilerplate-crawl
+    shape AQE's byte-based skew detection misses), the salted occurrence
+    join must produce byte-identical rewrites to the unsalted plan, for
+    both keep policies."""
+    from pyspark.sql import functions as F
+
+    from texteller_spark.operators.dedup import (
+        release_caches,
+        remove_repeated_substrings,
+    )
+
+    block = " ".join(f"hot{i}" for i in range(10))
+    rows = [(i, block + f" tail{i} " + " ".join(f"u{i}_{j}" for j in range(5)))
+            for i in range(40)]
+    rows += [(100 + i, " ".join(f"c{i}_{j}" for j in range(20))) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for keep in ("none", "first"):
+        plain = sorted(
+            map(tuple, remove_repeated_substrings(df, window=10, keep=keep).collect())
+        )
+        release_caches()
+        salted = sorted(
+            map(
+                tuple,
+                remove_repeated_substrings(
+                    df, window=10, keep=keep, salt_buckets=4
+                ).collect(),
+            )
+        )
+        release_caches()
+        assert plain == salted, keep
+
+
 def test_remove_duplicate_lines_semantics(spark):
     """Cross-doc shared line drops everywhere; within-doc repeats, unique
     lines, and whitespace-only lines survive in original order; an all-dup

@@ -377,6 +377,38 @@ def test_minhash_band_exchanges_are_signature_free(spark, Q):
         release_caches()
 
 
+def test_exact_substring_salted_join_plan_shape(spark):
+    """salt_buckets widens the occurrence join key to (_h, _salt) — the
+    deterministic hot-key spread — while keeping every prior pin: both
+    joins stay shuffle strategies (no auto-broadcast of unbounded
+    aggregates) and no text rides a keyed exchange."""
+    from texteller_spark.operators.dedup import (
+        release_caches,
+        remove_repeated_substrings,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    try:
+        out = remove_repeated_substrings(df, window=8, salt_buckets=8)
+        plan = plan_of(out)
+        assert "BroadcastHashJoin" not in plan
+        import re
+
+        m = re.search(r"ShuffledHashJoin \[([^\]]*)\]", plan)
+        assert m and "_h" in m.group(1) and "_salt" in m.group(1), plan[:2000]
+        for args, inputs in exchange_inputs(out):
+            # the counting/occurrence exchanges (keyed on the window hash)
+            # must stay 20-byte narrow; the single doc_id-keyed text join
+            # at the end is the contract's one full-text movement
+            if "hashpartitioning(_h" in args:
+                assert "text#" not in inputs and "_toks#" not in inputs, (
+                    args,
+                    inputs,
+                )
+    finally:
+        release_caches()
+
+
 def test_star_edges_exchanges_narrow_and_no_self_join(spark):
     """Bucket-star mode's whole point is the scale posture: NO band
     self-join (the signature kernel runs once, unmaterialized), and every

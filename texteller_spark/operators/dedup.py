@@ -828,6 +828,7 @@ def remove_repeated_substrings(
     window: int = 50,
     min_count: int = 2,
     keep: str = "none",
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better", EXACTSUBSTR): remove every
@@ -875,7 +876,30 @@ def remove_repeated_substrings(
     770M rows and OOM'd the 8 GiB bench JVM. BOTH joins are explicitly
     hinted to shuffle strategies for the same reason: the dup-hash set and
     the per-doc start arrays are UNBOUNDED aggregates, and Catalyst's
-    post-aggregation size estimates otherwise auto-broadcast them."""
+    post-aggregation size estimates otherwise auto-broadcast them.
+
+    Hot-key skew (``salt_buckets``): on a boilerplate-heavy crawl ONE
+    window hash can occur in a large fraction of all documents, and the
+    occurrence join (``keyed ⋈ dup`` on ``_h``) then lands every
+    occurrence of the hottest hash on one task — at 1000-executor
+    partition counts the hot partition is ~frac·P/W times the median
+    (frac = fraction of docs carrying the window, P partitions, W
+    windows/doc), a genuine straggler. AQE's skew split does NOT rescue
+    this shape by itself, for two measured reasons (BENCH.md "EXACTSUBSTR
+    hot-key skew"): (a) OptimizeSkewedJoin requires both join children to
+    be bare shuffle stages, and the dup side here is a HashAggregate
+    sitting between its exchange and the join — materializing ``dup``
+    first (the production Iceberg-seam shape) restores eligibility and
+    measurably engages ``ShuffledHashJoin(skew=true)``; (b) skew
+    detection is by COMPRESSED partition bytes, and a hot partition of
+    near-identical 20-byte rows compresses so well that real row-count
+    skew hides below the threshold. ``salt_buckets=S > 1`` is the
+    deterministic fix: occurrence rows get a position-derived salt, the
+    dup set replicates ×S (narrow (hash, keep) rows — the cheap side),
+    and the join key becomes ``(_h, _salt)``, bounding the hot key's
+    largest task at 1/S of its occurrences regardless of AQE's
+    estimates. Default 0 (off): the replicated dup-side volume is pure
+    overhead when no mega-hot window exists."""
     win = _window_hash_udf(window)
     keyed = _materialize(
         _widen(df).select(
@@ -894,7 +918,22 @@ def remove_repeated_substrings(
         .filter(F.col("_n") >= min_count)
         .select("_h", "_keep")
     )
-    occ = keyed.join(dup.hint("shuffle_hash"), "_h")
+    if salt_buckets > 1:
+        # deterministic hot-key spread: the occurrence side salts on a
+        # position-derived bucket (uniform over a doc's windows), the dup
+        # side replicates each (hash, keep) row across all buckets, and
+        # the join key widens to (_h, _salt) — the hottest window hash now
+        # spans salt_buckets tasks instead of one
+        salted_dup = dup.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        )
+        occ = keyed.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("_id", "_pos"), F.lit(salt_buckets)).cast("int"),
+        ).join(salted_dup.hint("shuffle_hash"), ["_h", "_salt"]).drop("_salt")
+    else:
+        occ = keyed.join(dup.hint("shuffle_hash"), "_h")
     if keep == "first":
         occ = occ.filter(
             (F.col("_id") != F.col("_keep._id"))
