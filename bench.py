@@ -341,7 +341,16 @@ def main() -> None:
         "p10_pack_corpus": pack_corpus,
         "p8_training_prep": lambda: Q.q_training_prep(spark, SF_DIR),
         "p9_near_dup_prep": lambda: Q.q_near_dup_prep(spark, SF_DIR),
+        # bucket-star edge mode: same capstones with the closure fed O(m)
+        # min-id star edges per band bucket instead of verified all-pairs —
+        # the templated-corpus scale mode; the delta vs the verified rows
+        # is the measured cost of pair materialization
+        "p9_near_dup_prep_star": lambda: Q.q_near_dup_prep_star(spark, SF_DIR),
         "p11_substring_prep": lambda: Q.q_substring_prep(spark, SF_DIR),
+        "p11_substring_prep_star": lambda: Q.q_substring_prep_star(spark, SF_DIR),
+        # realistic-mix companion fixture (low dup rate) so the capstone
+        # trend isn't 100% closure-dominated
+        "p11_substring_prep_mix": lambda: Q.q_substring_prep_mix(spark, SF_DIR),
         "mm_media_features": lambda: Q.q_media_features(spark, SF_DIR),
     }
 

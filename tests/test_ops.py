@@ -671,6 +671,56 @@ def test_ann_join_multiprobe_improves_recall(spark):
     assert r8 >= 0.5
 
 
+def test_lsh_near_dup_recall_floors_on_planted_rotations(spark):
+    """Recall floors for `lsh_near_dup_pairs` at the function defaults
+    (bits=128, bands=8 — r=16, the measured sweet spot; threshold=0.45)
+    on the planted-rotation fixture of tools/bench_lsh_neardup_recall.py
+    (base vectors + a slerp mutant each at true cosine cycling through
+    fixed levels). Collision probability per pair is
+    1-(1-(1-θ/π)^16)^8 — n-independent — so floors measured at the 100k
+    bench scale (BENCH.md "Embedding near-dup recall/cost") transfer to
+    this 8k fixture; they sit well under the measured curve so only a
+    regression in the signature kernel or banding trips them. An
+    identical pair (cos=1.0) MUST always collide (same signature)."""
+    import numpy as np
+    import pandas as pd
+
+    from texteller_spark.operators.dedup import release_caches
+    from texteller_spark.operators.similarity import lsh_near_dup_pairs
+
+    n, dim = 4000, 64
+    cos_levels = (1.0, 0.99, 0.95, 0.90)
+    rng = np.random.RandomState(42)
+    base = rng.normal(size=(n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.normal(size=(n, dim))
+    noise -= (noise * base).sum(axis=1, keepdims=True) * base
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    target = np.asarray([cos_levels[i % len(cos_levels)] for i in range(n)])
+    th = np.arccos(np.clip(target, -1, 1))[:, None]
+    mut = np.cos(th) * base + np.sin(th) * noise
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.concatenate([np.arange(n), np.arange(n) + 10_000_000]),
+            "embedding": list(base.astype(np.float32)) + list(mut.astype(np.float32)),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    pairs = lsh_near_dup_pairs(df, dim=dim, threshold=0.45)
+    got = pairs.collect()
+    release_caches()
+    assert all(r["cosine"] >= 0.45 for r in got)  # admission is exact
+    hit = {r["id_a"] for r in got if r["id_b"] == r["id_a"] + 10_000_000}
+    # theory at (128, 8): 0.994 @ 0.99, 0.80 @ 0.95, 0.50 @ 0.90 —
+    # floors leave ~4 sigma of sampling margin (1000 pairs per level)
+    floors = {1.0: 1.0, 0.99: 0.97, 0.95: 0.70, 0.90: 0.40}
+    for lvl, floor in floors.items():
+        ids = [i for i in range(n) if target[i] == lvl]
+        recall = len([i for i in ids if i in hit]) / len(ids)
+        assert recall >= floor, (lvl, recall)
+
+
 def test_minhash_recall_floors_on_planted_mutations(spark):
     """Recall floors for `minhash_lsh_pairs` on the planted-mutation corpus
     of tools/bench_minhash_recall.py (500 base docs + one mutant each at

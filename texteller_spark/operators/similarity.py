@@ -177,8 +177,8 @@ def lsh_near_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.45,
-    bits: int = 32,
-    bands: int = 4,
+    bits: int = 128,
+    bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
@@ -212,6 +212,17 @@ def lsh_near_dup_pairs(
     The signature stage stays persisted until ``dedup.release_caches()`` —
     consume the pairs inside ``with dedup.signature_cache():`` to bound
     session memory.
+
+    Tuning (measured at 100k×64, BENCH.md "Embedding near-dup
+    recall/cost"): r = bits/bands is the binding knob. r=8 gives only 2^8
+    buckets per band, so an unclustered 100k corpus puts ~n/256 vectors in
+    every bucket and the verify stage inherits ~bands·n²/2^(r+1)
+    candidates — (32, 4) DNF'd a 9.5-minute local budget. The (128, 8)
+    default keeps r=16 (candidates near-linear in n; recall ≥0.99 at
+    cos ≥ 0.97, ~0.8 at cos ≈ 0.95 — the near-dup regime); raise
+    ``bands`` at constant r to buy mid-cosine recall at proportional
+    cost. Below cos ~0.8, banding is the wrong tool — use
+    :func:`ann_join` with probes.
     """
     from .dedup import _materialize
 

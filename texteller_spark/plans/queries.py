@@ -3620,7 +3620,16 @@ _DRIVER_LAST_CHECKED = {
 #: check — their stamp is voided so the changed code re-verifies externally
 #: next round, regardless of rotation position. Clear when the next
 #: CORRECTNESS file records them.
-_CHANGED_SINCE_CHECK: set[str] = set()  # r4 set cleared: all 7 recorded green in r04
+#: r4 set cleared (all 7 recorded green in r04). r5: the p9/p11/clusters
+#: chains were factored through _fuzzy_canon/_p9_admission/_p11_admission
+#: for the star variants — generated oracle SQL is byte-identical
+#: (asserted at refactor time) and plans unchanged, but the code path
+#: moved, so their stamps are voided for external re-verification.
+_CHANGED_SINCE_CHECK: set[str] = {
+    "dedup_clusters",
+    "p9_near_dup_prep",
+    "p11_substring_prep",
+}
 
 # Least-recently-verified first; Python's sort is stable, so entries with
 # the same stamp keep their thematic _CATALOG order.
