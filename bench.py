@@ -332,6 +332,9 @@ def main() -> None:
         "text_bpe_tokens": lambda: Q.q_bpe_tokens(spark, SF_DIR),
         "sim_cosine_topk": lambda: Q.q_cosine_topk(spark, SF_DIR),
         "sim_ann_join": lambda: Q.q_ann_join(spark, SF_DIR),
+        # IVF ANN: kmeans coarse quantizer + probed-list exact rerank (the
+        # learned-partition complement to the LSH band join above)
+        "sim_ivf_kmeans": lambda: Q.q_ivf_kmeans(spark, SF_DIR),
         "web_domain_rank": domain_rank_corpus,
         "cluster_kmeans": kmeans_corpus,
         "dedup_semantic": semantic_dedup_corpus,

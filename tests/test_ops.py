@@ -671,6 +671,53 @@ def test_ann_join_multiprobe_improves_recall(spark):
     assert r8 >= 0.5
 
 
+def test_ivf_ann_join_engine_parity_and_exact_at_limit(spark):
+    """ivf_ann_join contracts: (1) the arrow (BLAS) and jvm (interpreted
+    higher-order) engines emit identical results — same rounded-distance,
+    lowest-cid-tie assignment/probe contract as clustering.assign_clusters;
+    (2) nprobe >= nlist probes every inverted list, so the output equals
+    exact brute-force top-k (computed independently in numpy) — the
+    exactness-at-the-limit contract that anchors the approximation."""
+    import numpy as np
+
+    from texteller_spark.operators.clustering import kmeans_fit
+    from texteller_spark.operators.dedup import release_caches
+    from texteller_spark.operators.similarity import ivf_ann_join
+
+    rng = np.random.RandomState(7)
+    n, dim, nq = 300, 16, 10
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(4)
+    try:
+        cents = kmeans_fit(df, k=6, iters=2, dim=dim, engine="jvm").select(
+            "cid", "cent"
+        )
+        q = df.filter(F.col("vec_id") < nq)
+        c = df.filter(F.col("vec_id") >= nq)
+
+        a = ivf_ann_join(q, c, cents, k=5, nprobe=2, engine="arrow").collect()
+        j = ivf_ann_join(q, c, cents, k=5, nprobe=2, engine="jvm").collect()
+        key = lambda r: (r.query_id, r.neighbor_id, r.rnk, r.cosine)
+        assert sorted(map(key, a)) == sorted(map(key, j))
+        assert len(a) > 0
+
+        full = ivf_ann_join(q, c, cents, k=5, nprobe=6, engine="arrow").collect()
+    finally:
+        release_caches()
+    vn = vecs.astype(np.float64)
+    vn /= np.linalg.norm(vn, axis=1, keepdims=True)
+    exp = []
+    for qi in range(nq):
+        sc = np.round(vn[qi] @ vn[nq:].T, 4)
+        order = sorted(range(n - nq), key=lambda i: (-sc[i], i + nq))[:5]
+        exp += [(qi, i + nq, rnk, float(sc[i])) for rnk, i in enumerate(order, 1)]
+    got = sorted((r.query_id, r.neighbor_id, r.rnk, float(r.cosine)) for r in full)
+    assert got == sorted(exp)
+
+
 def test_lsh_near_dup_recall_floors_on_planted_rotations(spark):
     """Recall floors for `lsh_near_dup_pairs` at the function defaults
     (bits=128, bands=8 — r=16, the measured sweet spot; threshold=0.45)

@@ -161,6 +161,57 @@ def test_ann_join_is_band_equijoin_with_windowgrouplimit(spark, Q):
     assert "BatchEvalPython" not in p  # band kernel is Arrow, cosine is JVM
 
 
+def test_ivf_join_is_list_equijoin_vector_free_with_windowgrouplimit(spark, Q):
+    """IVF ANN join plan shape: the inverted-list candidate join is a hash
+    equi-join on cid whose exchanges carry ONLY (id, cid) rows — the
+    vector-free posture every bucketed exchange in this package pins; the
+    embedding crosses a keyed exchange at most once per side (the id
+    join-backs of the exact rerank); per-query top-k pushes down to
+    WindowGroupLimit. The jvm catalog entry keeps zero Python (the
+    centroid cross joins are model-sized broadcasts); the arrow default
+    uses Arrow kernels, never per-row BatchEvalPython."""
+    from texteller_spark.operators.dedup import release_caches
+
+    vec_markers = ("_v_query_id#", "_v_neighbor_id#")
+    try:
+        df = Q.q_ivf_kmeans(spark, SF)
+        p = plan_of(df)
+        assert "WindowGroupLimit" in p
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p  # jvm oracle path: zero Python
+        exs = exchange_inputs(df)
+        cid_exs = [
+            (args, inputs) for args, inputs in exs if "hashpartitioning(cid" in args
+        ]
+        assert cid_exs  # the list equi-join exists and shuffles on cid
+        for args, inputs in cid_exs:
+            assert not any(v in inputs for v in vec_markers), (args, inputs)
+        n_vec = sum(1 for _, i in exs if any(v in i for v in vec_markers))
+        assert n_vec <= 2, exs
+
+        # arrow default: same shape, Arrow kernels only
+        from pyspark.sql import functions as F
+
+        from texteller_spark.operators.clustering import seed_centroids
+        from texteller_spark.operators.similarity import ivf_ann_join
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        adf = ivf_ann_join(
+            e.filter(F.col("vec_id") < 20),
+            e.filter(F.col("vec_id") >= 20),
+            seed_centroids(e, 8),
+            k=5,
+            nprobe=2,
+            engine="arrow",
+        )
+        ap = plan_of(adf)
+        assert "BatchEvalPython" not in ap
+        assert "ArrowEvalPython" in ap
+        assert "WindowGroupLimit" in ap
+    finally:
+        release_caches()
+
+
 def test_lsh_band_exchanges_are_vector_free(spark, Q):
     """r3 verdict finding #1: the band shuffles of the embedding LSH pair
     finder and the bulk ANN join must carry ONLY (id, band-key) rows — the

@@ -33,6 +33,7 @@ __all__ = [
     "with_lsh_bands",
     "lsh_topk",
     "ann_join",
+    "ivf_ann_join",
     "embedding_near_dup_pairs",
     "lsh_near_dup_pairs",
     "plane_matrix",
@@ -406,6 +407,20 @@ def ann_join(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    return _exact_rerank(pair_ids, qn, cn, k, round_digits)
+
+
+def _exact_rerank(
+    pair_ids: DataFrame, qn: DataFrame, cn: DataFrame, k: int, round_digits: int
+) -> DataFrame:
+    """Shared tail of every bucketed ANN family (LSH bands, IVF lists):
+    candidate ``(query_id, neighbor_id)`` pairs join both vectors back BY
+    ID (each embedding crosses a keyed exchange at most once per side —
+    never riding the bucket shuffle), exact JVM ``zip_with`` cosine, then
+    per-query top-k on the ROUNDED cosine with neighbor-id tiebreak so the
+    emitted set is deterministic across partitionings and engines. The
+    ``row_number() <= k`` plans as WindowGroupLimit (partial per-map-task
+    top-k before the shuffle)."""
     cand = pair_ids.join(qn, "query_id").join(cn, "neighbor_id")
     dot = F.aggregate(
         F.zip_with(
@@ -424,6 +439,132 @@ def ann_join(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
+
+
+def _arrow_probe_udf(cids: "np.ndarray", cents: "np.ndarray", nprobe: int,
+                     round_digits: int):
+    """array<long> of the ``nprobe`` nearest centroid cids per vector —
+    the IVF probe-list kernel. Rounded squared-L2 (same contract as
+    ``clustering._arrow_assign_udf``), stable argsort over ascending-cid
+    columns so ties break to the lowest cid — identical ordering to the
+    JVM/SQL ``row_number() OVER (ORDER BY ROUND(d2, n), cid)`` probe."""
+    c_sq = (cents * cents).sum(axis=1)
+    n_take = min(nprobe, len(cids))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            d2 = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ cents.T) + c_sq
+            order = np.argsort(np.round(d2, round_digits), axis=1, kind="stable")
+            yield pd.Series(list(cids[order[:, :n_take]]))
+
+    return probe
+
+
+def ivf_ann_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "vec_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    assign_round_digits: int = 6,
+    engine: str = "arrow",
+) -> DataFrame:
+    """IVF-bucketed bulk ANN join (set-vs-set top-k): the inverted-file
+    scale path that complements the banded-LSH :func:`ann_join`. A coarse
+    quantizer — any ``(cid, cent)`` centroid table, typically
+    ``clustering.kmeans_fit`` output (the Faiss-IVF recipe: train the
+    quantizer, then probe) — partitions the corpus into ``nlist`` lists;
+    every query probes its ``nprobe`` nearest lists and reranks the list
+    members exactly. Candidates per query are bounded by the probed-list
+    sizes, not corpus size, and unlike hyperplane banding the partition is
+    LEARNED, so it adapts to clustered real-world embedding distributions
+    (where uniform-bucket LSH needs deep signatures — see BENCH.md
+    "Embedding near-dup recall/cost" for the uniform-data failure mode).
+
+    Plan shape (pinned in tests — scale posture first):
+
+    * corpus list assignment is MAP-ONLY (broadcast centroid model; Arrow
+      BLAS kernel by default, interpreted JVM higher-order argmin under
+      ``engine='jvm'`` for the oracle path — both rounded-distance,
+      lowest-cid ties, identical output, same two-engine contract as
+      ``clustering.assign_clusters``); the embedding never shuffles for it;
+    * query probe lists are the same kernel returning the ``nprobe``
+      nearest cids (JVM path: broadcast-explode + ``row_number() <=
+      nprobe`` — a WindowGroupLimit on narrow rows);
+    * the list equi-join moves ONLY ``(id, cid)`` rows — vector-free, the
+      same posture every band exchange in this package pins; pairs are
+      unique by construction (one list per corpus row, distinct probed
+      lists per query), so no dedup pass is needed;
+    * vectors join back by id into the shared :func:`_exact_rerank` tail
+      (exact JVM cosine, WindowGroupLimit top-k, rounded-cosine +
+      neighbor-id determinism).
+
+    ``nprobe >= nlist`` degenerates to exact brute force (every list
+    probed) — pinned in tests as the exactness-at-the-limit contract.
+
+    At 10^12 rows: corpus list assignment is a once-per-corpus artifact
+    worth checkpointing alongside the vectors (then the join prunes to the
+    probed lists); skewed (hot) clusters make the cid join skew-prone —
+    AQE skew-join handles moderate cases and raising ``nlist`` (SemDeDup
+    uses ~100k) re-balances structurally, the same two levers as the
+    EXACTSUBSTR hot-hash join (BENCH.md "EXACTSUBSTR hot-key skew").
+    """
+    from .clustering import (
+        _arrow_assign_udf,
+        _as_double,
+        _cents_row,
+        _collect_centroids,
+        _nearest,
+        _sq_dist,
+    )
+
+    qn = _with_norm(queries_df, query_id_col, vec_col, "query_id")
+    cn = _with_norm(corpus_df, corpus_id_col, vec_col, "neighbor_id")
+
+    if engine == "arrow":
+        np_cids, np_cents = _collect_centroids(centroids)
+        assign = _arrow_assign_udf(np_cids, np_cents, assign_round_digits)
+        probe = _arrow_probe_udf(np_cids, np_cents, nprobe, assign_round_digits)
+        ca = cn.select(
+            "neighbor_id",
+            assign(_as_double(F.col("_v_neighbor_id"))).alias("cid"),
+        )
+        qp = qn.select(
+            "query_id",
+            F.explode(probe(_as_double(F.col("_v_query_id")))).alias("cid"),
+        )
+    else:
+        cent = centroids.select("cid", "cent")
+        ca = cn.crossJoin(F.broadcast(_cents_row(cent))).select(
+            "neighbor_id",
+            _nearest(
+                F.col("_cents"), _as_double(F.col("_v_neighbor_id")),
+                assign_round_digits,
+            )["cid"].alias("cid"),
+        )
+        qd = qn.crossJoin(F.broadcast(cent)).select(
+            "query_id",
+            "cid",
+            F.round(
+                _sq_dist(_as_double(F.col("_v_query_id")), F.col("cent")),
+                assign_round_digits,
+            ).alias("_d"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("cid"))
+        qp = (
+            qd.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= nprobe)
+            .select("query_id", "cid")
+        )
+
+    pair_ids = qp.join(ca, "cid").select("query_id", "neighbor_id")
+    return _exact_rerank(pair_ids, qn, cn, k, round_digits)
 
 
 def lsh_topk(

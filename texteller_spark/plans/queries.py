@@ -1615,6 +1615,78 @@ FROM af
 """
 
 
+def q_ivf_kmeans(spark, sf):
+    """IVF ANN join with a LEARNED coarse quantizer — the full Faiss-IVF
+    recipe composed in one lazy plan: fit nlist=8 centroids with 2 Lloyd
+    rounds over ALL embeddings, partition the corpus (vec_id >= 20) into
+    inverted lists by nearest centroid, probe each query's (vec_id < 20)
+    nprobe=2 nearest lists, exact-rerank the probed members to top-5.
+    Complements `sim_ann_join`'s hyperplane banding: the partition adapts
+    to clustered embedding distributions. List equi-join is vector-free;
+    engine='jvm' is the interpreted oracle path (the arrow default is
+    pinned identical in tests)."""
+    from ..operators.clustering import kmeans_fit
+    from ..operators.similarity import ivf_ann_join
+
+    e = _t(spark, sf, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=2, dim=_EMB_DIM, engine="jvm").select(
+        "cid", "cent"
+    )
+    return ivf_ann_join(
+        e.filter(F.col("vec_id") < 20),
+        e.filter(F.col("vec_id") >= 20),
+        cents,
+        k=5,
+        nprobe=2,
+        engine="jvm",
+    )
+
+
+def _ivf_kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                    nprobe: int = 2, topk: int = 5) -> str:
+    """IVF oracle: the shared unrolled-Lloyd CTE chain up to c{iters}
+    (identical rounded trajectory), corpus list assignment via the shared
+    rounded-argmin CTE, query probe lists via row_number <= nprobe with
+    the same (ROUND(d2, 6), cid) ordering, then the exact-cosine rerank
+    with the (rounded cosine DESC, neighbor_id) tiebreak of the ANN
+    oracles."""
+    ctes = _kmeans_ctes(k, iters, dim)
+    ctes.append(_kmeans_assign_cte("ca", f"c{iters}", dim))
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+probe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i]))), 6),
+                      c.cid) AS rn
+    FROM emb e CROSS JOIN c{iters} c WHERE e.vec_id < 20)
+  WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN ca a USING (cid) WHERE a.vec_id >= 20),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(CAST(list_cosine_similarity(
+           list_transform(eq.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(ec.embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE), 4) AS cosine
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.query_id
+  JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+  WHERE NOT isnan(list_cosine_similarity(eq.embedding, ec.embedding))
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk, cosine
+FROM ranked WHERE rn <= {topk}
+"""
+
+
 def q_rank_frames(spark, sf):
     """W-family frame specs: rank() per user by value, plus a 3-row moving
     average over event time (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) —
@@ -3515,6 +3587,7 @@ _CATALOG = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "sim_ann_lsh": q_ann_lsh,
     "sim_ann_join": q_ann_join,
+    "sim_ivf_kmeans": q_ivf_kmeans,
     "mm_media_features": q_media_features,
     "mm_media_frames": q_media_frames,
     "mm_media_resize": q_media_resize,
@@ -3629,6 +3702,9 @@ _CHANGED_SINCE_CHECK: set[str] = {
     "dedup_clusters",
     "p9_near_dup_prep",
     "p11_substring_prep",
+    # r5: ann_join's exact-rerank tail factored into _exact_rerank (shared
+    # with the new ivf_ann_join) — plan unchanged, but the code path moved
+    "sim_ann_join",
 }
 
 # Least-recently-verified first; Python's sort is stable, so entries with
@@ -3696,6 +3772,7 @@ ORACLES = {
     "dedup_semantic_fitted": _semantic_dedup_fitted_sql(),
     "sim_ann_lsh": _ann_lsh_sql(),
     "sim_ann_join": _ann_join_sql(),
+    "sim_ivf_kmeans": _ivf_kmeans_sql(),
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_clusters": _clusters_sql(),
     "dedup_clusters_star": _clusters_star_sql(),
