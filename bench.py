@@ -21,6 +21,12 @@ was 1.5× slower — normalize before comparing query cells. Raw per-pass
 samples for every query are also committed (`queries_passes`) so any cell's
 spread is inspectable, not just its median.
 
+Round-5 addition: per-pass /proc/stat deltas (`host.per_pass_cpu`:
+steal%/busy%) — the noise regimes were root-caused to hypervisor CPU
+steal, which engages under sustained multi-core load and which a short
+calibration scan under-detects (BENCH.md "Host steal"); steal% is the
+direct window-quality metric an external reader should gate on.
+
 The flagship metric is extraction docs/sec over the deterministic synthetic
 corpus (SPARK_GRAFT_BENCH_DOCS pages, default 100000). The scaling protocol
 (tools/bench_scaling.py) runs this file at two parallelism levels for the
@@ -391,11 +397,40 @@ def main() -> None:
             force(b())
             release_caches()  # signature-stage persists don't accumulate across reps
 
+    # --- host-window ground truth: /proc/stat deltas per pass. The
+    # calibration scan alone under-detects the dominant noise source on
+    # this host — hypervisor CPU STEAL, which engages under sustained
+    # multi-core load (measured: 32% steal and 4.5x per-vCPU skew on an
+    # identical 32-process spin loop during a degraded window, while a
+    # 0.2 s calibration scan stayed nominal because short bursts fit
+    # between throttle periods). Committing steal%/busy% per pass lets an
+    # external reader grade the window directly.
+    def _cpu_snap():
+        try:
+            with open("/proc/stat") as f:
+                return list(map(int, f.readline().split()[1:]))
+        except (OSError, ValueError):
+            return None
+
+    def _cpu_delta(a, b):
+        if not a or not b:
+            return None
+        d = [y - x for x, y in zip(a, b)]
+        tot = sum(d) or 1
+        idle = d[3] + (d[4] if len(d) > 4 else 0)
+        steal = d[7] if len(d) > 7 else 0
+        return {
+            "steal_pct": round(100 * steal / tot, 1),
+            "busy_pct": round(100 * (tot - idle - steal) / tot, 1),
+        }
+
     # --- timed section (steady state): PASSES full interleaved passes, each
     # opened by the calibration scan; per-query median across passes
     samples: dict[str, list[float]] = {name: [] for name in builders}
     calib: list[float] = []
+    host_passes: list[dict | None] = []
     for _ in range(PASSES):
+        cpu0 = _cpu_snap()
         t0 = time.perf_counter()
         force(calibration())
         calib.append(round(time.perf_counter() - t0, 3))
@@ -406,6 +441,7 @@ def main() -> None:
                 force(b())
                 samples[name].append(round(time.perf_counter() - t0, 3))
                 release_caches()
+        host_passes.append(_cpu_delta(cpu0, _cpu_snap()))
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -437,6 +473,7 @@ def main() -> None:
                     "per_pass_sec": calib,
                     "median_sec": median(calib),
                 },
+                "host": {"per_pass_cpu": host_passes},
                 "queries_passes": samples,
                 "extract_docs": N_DOCS,
                 "extract_docs_per_sec": docs_per_sec,
