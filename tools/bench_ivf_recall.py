@@ -30,8 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+#: UNIFORM=1 swaps the clustered-blob corpus for an unclustered
+#: hash-derived uniform corpus (same recipe as the blob noise, no blob
+#: centers) — the control measuring the claim that IVF's advantage is the
+#: LEARNED structure: with nothing to learn, k-means lists are arbitrary
+#: Voronoi cells and probing few lists must lose mid-cosine neighbors
+UNIFORM = os.environ.get("SPARK_GRAFT_BENCH_EMB_UNIFORM", "0") == "1"
 EMB_CORPUS = os.environ.get(
-    "SPARK_GRAFT_BENCH_EMB_CORPUS", f"/tmp/texteller_embs_{N_DOCS}"
+    "SPARK_GRAFT_BENCH_EMB_CORPUS",
+    f"/tmp/texteller_embs_{N_DOCS}" + ("_uniform" if UNIFORM else ""),
 )
 QUERY_STRIDE = 397
 K = 10
@@ -54,7 +61,22 @@ def main():
 
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
-    ensure_emb_corpus(spark)
+    if UNIFORM:
+        if not os.path.exists(EMB_CORPUS):
+            noise = F.array(
+                *[
+                    (
+                        (F.pmod(F.hash(F.col("id"), F.lit(i)), F.lit(2001)) - 1000)
+                        / 1000.0
+                    ).cast("float")
+                    for i in range(64)
+                ]
+            )
+            spark.range(N_DOCS).select(
+                F.col("id").alias("vec_id"), noise.alias("embedding")
+            ).repartition(64).write.mode("overwrite").parquet(EMB_CORPUS)
+    else:
+        ensure_emb_corpus(spark)
     corpus = spark.read.parquet(EMB_CORPUS)
     queries = corpus.filter(F.col("vec_id") % QUERY_STRIDE == 0)
 
