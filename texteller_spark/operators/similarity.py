@@ -479,7 +479,9 @@ def ivf_ann_join(
     scale path that complements the banded-LSH :func:`ann_join`. A coarse
     quantizer — any ``(cid, cent)`` centroid table, typically
     ``clustering.kmeans_fit`` output (the Faiss-IVF recipe: train the
-    quantizer, then probe) — partitions the corpus into ``nlist`` lists;
+    quantizer, then probe; reference analog: none — training-data-pipeline
+    surface on top of the reference's extraction semantics, like
+    ``clustering``) — partitions the corpus into ``nlist`` lists;
     every query probes its ``nprobe`` nearest lists and reranks the list
     members exactly. Candidates per query are bounded by the probed-list
     sizes, not corpus size, and unlike hyperplane banding the partition is
